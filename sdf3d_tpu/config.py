@@ -1,0 +1,98 @@
+"""Static render configuration.
+
+The reference bakes every knob in as compile-time constants: march constants
+``MAX_STEPS=100, MAX_DISTANCE=100, EPSILON=0.01``
+(``/root/reference/Code/shader/voxel_fragment.frag:17-19``), window size 800×600
+(``/root/reference/Code/src/main.cpp:4-5``), and shadow sharpness ``k=10``
+(``voxel_fragment.frag:205``).  Changing anything there means recompiling the
+shader.  Here the same knobs are plain frozen dataclasses: *hashable static
+arguments* to ``jax.jit`` — one XLA compilation per config, while scene /
+camera / light parameters stay runtime (and differentiable) inputs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class MarchConfig:
+    """Primary sphere-trace march parameters (``voxel_fragment.frag:17-19``)."""
+
+    max_steps: int = 100
+    max_distance: float = 100.0
+    epsilon: float = 0.01
+    #: Stop the march loop once every ray in the batch/tile has terminated
+    #: (`lax.while_loop`); turn off for a fixed-trip-count `fori_loop`, which
+    #: is bitwise identical but never exits early.
+    early_exit: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class ShadowConfig:
+    """Quilez improved soft-shadow march (``voxel_fragment.frag:105-132``).
+
+    ``k`` is the penumbra sharpness (reference passes 10.0 at ``:205``); the
+    shadow ray starts at ``hit + 2·epsilon·normal`` (``:205``).
+    """
+
+    enabled: bool = True
+    k: float = 10.0
+    max_steps: int = 100
+
+
+@dataclasses.dataclass(frozen=True)
+class AOConfig:
+    """SDF ambient occlusion (north-star capability; no reference counterpart).
+
+    Classic 5-tap occlusion: samples along the normal at ``i·step`` compare
+    expected vs actual SDF, attenuated by ``falloff**i``; scales the ambient
+    term by ``1 - strength·occlusion`` clamped to [0, 1].
+    """
+
+    enabled: bool = False
+    samples: int = 5
+    step: float = 0.05
+    falloff: float = 0.7
+    strength: float = 3.0
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Full pipeline configuration (static under jit).
+
+    ``ray_mode``:
+      - ``"reference"`` — replicate the reference's ray z-term
+        ``-2/tan(fov·π/360)`` (``voxel_fragment.frag:191``); the extra factor
+        of 2 makes the *effective* vertical FOV ≈ 32.3°, not the nominal 60°.
+        Required for pixel parity.
+      - ``"pinhole"`` — standard ``-1/tan(fov/2)`` pinhole ray.
+
+    ``normals``: ``"central"`` (6-tap, reference ``voxel_fragment.frag:134-155``),
+    ``"tetrahedron"`` (4-tap), or ``"autodiff"`` (exact ``jax.grad`` of the SDF).
+
+    ``background``: ``None`` reproduces the reference quirk of shading rays
+    that exceeded ``max_distance`` at their far point
+    (``voxel_fragment.frag`` has no miss branch); an RGB tuple composites
+    misses over that color instead.
+    """
+
+    width: int = 800
+    height: int = 600
+    march: MarchConfig = MarchConfig()
+    shadow: ShadowConfig = ShadowConfig()
+    ao: AOConfig = AOConfig()
+    normals: str = "central"
+    ray_mode: str = "reference"
+    shading: str = "blinn_phong"  # or "lambert"
+    background: tuple | None = None
+
+    @property
+    def aspect_ratio(self) -> float:
+        """Framebuffer aspect ratio ``AR = W/H`` (``voxel_geometry.geom:8``)."""
+        return self.width / self.height
+
+
+#: Config that exactly reproduces the reference app's fixed choices
+#: (800×600 window, 100-step marches, ε=0.01, k=10 shadows, central normals).
+REFERENCE_CONFIG = RenderConfig()

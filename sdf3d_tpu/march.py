@@ -1,0 +1,215 @@
+"""Sphere-trace, soft-shadow, AO marches and normal estimation (pure XLA).
+
+This is the TPU-native re-design of the per-fragment loops in
+``/root/reference/Code/shader/voxel_fragment.frag``:
+
+- ``raymarch`` (``:86-103``)  → :func:`sphere_trace`
+- ``shadow``   (``:105-132``) → :func:`soft_shadow`
+- ``normal``   (``:134-155``) → :func:`normal_central` (plus tetrahedron /
+  autodiff variants, north-star choices)
+- (no AO in the reference)    → :func:`ambient_occlusion`
+
+Design: the GLSL loops `break` per pixel; on TPU there is no per-lane break,
+so every march is a *masked* loop — all lanes step together, a boolean
+``active`` lane-mask freezes finished rays, and (optionally) the whole loop
+exits once no lane is active (`lax.while_loop` with an `any` reduction —
+the batch-level analogue of the per-fragment break, free of data-dependent
+shapes).  The masked updates are ordered exactly as the reference's loop
+bodies so results are bitwise comparable.
+
+All functions take ``sdf_fn: (..., 3) -> (...)`` — typically
+``scene.distance`` — and broadcast over any batch shape.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sdf3d_tpu.config import AOConfig, MarchConfig, ShadowConfig
+from sdf3d_tpu.sdf.node import vnormalize
+
+SDFFn = Callable[[jnp.ndarray], jnp.ndarray]
+
+#: Attenuation used when the shadow step is degenerate (see soft_shadow).
+_NO_DARKEN = 1e30
+_TINY = 1e-30
+
+
+def _run_masked_loop(cfg_steps: int, early_exit: bool, body, carry):
+    """Run ``body(i, carry)`` ``cfg_steps`` times; with ``early_exit`` the loop
+    stops once ``carry[-1]`` (the active mask) is all-False."""
+    if early_exit:
+        def cond(state):
+            i, carry = state
+            return jnp.logical_and(i < cfg_steps, jnp.any(carry[-1]))
+
+        def wbody(state):
+            i, carry = state
+            return i + 1, body(i, carry)
+
+        _, carry = lax.while_loop(cond, wbody, (jnp.int32(0), carry))
+        return carry
+    return lax.fori_loop(0, cfg_steps, body, carry)
+
+
+def sphere_trace(sdf_fn: SDFFn, origins: jnp.ndarray, directions: jnp.ndarray, cfg: MarchConfig) -> jnp.ndarray:
+    """Sphere-trace march; returns the marched distance per ray, shape ``(...,)``.
+
+    Replicates ``raymarch`` (``voxel_fragment.frag:86-103``) exactly: each
+    step evaluates the SDF at the current point, **unconditionally adds it to
+    the distance**, then terminates the lane when
+    ``distance > max_distance or sdf < epsilon``.  Like the reference there is
+    no hit/miss flag — misses simply carry a distance beyond ``max_distance``
+    (test with :func:`hit_mask`).
+    """
+    batch = jnp.broadcast_shapes(origins.shape[:-1], directions.shape[:-1])
+    dtype = origins.dtype
+
+    def body(i, carry):
+        dist, active = carry
+        p = origins + dist[..., None] * directions
+        s = sdf_fn(p)
+        dist_new = jnp.where(active, dist + s, dist)
+        done = (dist_new > cfg.max_distance) | (s < cfg.epsilon)
+        active_new = active & ~done
+        return dist_new, active_new
+
+    dist0 = jnp.zeros(batch, dtype)
+    active0 = jnp.ones(batch, jnp.bool_)
+    dist, _ = _run_masked_loop(cfg.max_steps, cfg.early_exit, body, (dist0, active0))
+    return dist
+
+
+def hit_mask(distance: jnp.ndarray, cfg: MarchConfig) -> jnp.ndarray:
+    """True where the march converged on a surface (did not exceed range)."""
+    return distance <= cfg.max_distance
+
+
+def soft_shadow(
+    sdf_fn: SDFFn,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    cfg: ShadowConfig,
+    march: MarchConfig,
+) -> jnp.ndarray:
+    """Quilez *improved* soft shadow, replicating ``voxel_fragment.frag:105-132``.
+
+    Per step (``:118-126``): with previous/current SDF samples ``sdf`` /
+    ``sdf_new``,
+
+    - ``intersection = sdf_new²/(2·sdf)`` (0 on the first step),
+    - ``d_est = sqrt(sdf_new² − intersection²)`` — the estimated closest
+      approach of the ray to the surface,
+    - ``shadow = min(shadow, k·d_est / max(0, distance − intersection))``,
+    - advance ``distance += sdf_new``; lane stops when
+      ``distance > max_distance or shadow < epsilon``.
+
+    Deviation from raw GLSL (documented, mirrored by the oracles): the sqrt
+    argument is clamped at 0, and the attenuation update is skipped (huge
+    value under ``min``) whenever ``distance − intersection ≤ 0``.  GLSL
+    divides by ``max(0, ·)`` there (``:122``) producing +inf (harmless under
+    ``min``) or 0/0 = NaN — and GPU ``min(x, NaN)`` conventionally returns
+    ``x``, i.e. *no darkening*, which is exactly the branch we make explicit.
+    This case occurs on every ray marching straight away from a plane
+    (``sdf_new = 2·sdf_prev`` ⇒ ``d_est = 0`` and ``denom = 0``).
+    Returns the shadow factor clamped to [0, 1] (``:129``).
+    """
+    batch = jnp.broadcast_shapes(origins.shape[:-1], directions.shape[:-1])
+    dtype = origins.dtype
+    k = jnp.asarray(cfg.k, dtype)
+
+    def body(i, carry):
+        dist, prev_sdf, shadow, active = carry
+        p = origins + dist[..., None] * directions
+        s = sdf_fn(p)
+        intersection = jnp.where(
+            i == 0,
+            jnp.zeros_like(s),
+            s * s / (2.0 * jnp.where(prev_sdf == 0.0, _TINY, prev_sdf)),
+        )
+        d_est = jnp.sqrt(jnp.maximum(s * s - intersection * intersection, 0.0))
+        denom = dist - intersection
+        atten = jnp.where(denom > 0.0, k * d_est / jnp.where(denom > 0.0, denom, 1.0), _NO_DARKEN)
+        shadow_new = jnp.where(active, jnp.minimum(shadow, atten), shadow)
+        dist_new = jnp.where(active, dist + s, dist)
+        done = (dist_new > march.max_distance) | (shadow_new < march.epsilon)
+        active_new = active & ~done
+        return dist_new, jnp.where(active, s, prev_sdf), shadow_new, active_new
+
+    carry0 = (
+        jnp.zeros(batch, dtype),
+        jnp.full(batch, jnp.inf, dtype),
+        jnp.ones(batch, dtype),
+        jnp.ones(batch, jnp.bool_),
+    )
+    _, _, shadow, _ = _run_masked_loop(cfg.max_steps, march.early_exit, body, carry0)
+    return jnp.clip(shadow, 0.0, 1.0)
+
+
+def ambient_occlusion(sdf_fn: SDFFn, points: jnp.ndarray, normals: jnp.ndarray, cfg: AOConfig) -> jnp.ndarray:
+    """Classic N-tap SDF ambient occlusion (north-star capability; the
+    reference has none).
+
+    Samples the field at ``points + i·step·normals`` for ``i = 1..samples``;
+    occlusion accumulates ``falloff**(i-1) · (i·step − sdf)`` and the result is
+    ``clamp(1 − strength·occ, 0, 1)`` — a fixed-trip, fully vectorized loop
+    (unrolled: ``samples`` is small and static).
+    """
+    occ = jnp.zeros(points.shape[:-1], points.dtype)
+    weight = 1.0
+    for i in range(1, cfg.samples + 1):
+        h = cfg.step * i
+        s = sdf_fn(points + h * normals)
+        occ = occ + weight * (h - s)
+        weight *= cfg.falloff
+    return jnp.clip(1.0 - cfg.strength * occ, 0.0, 1.0)
+
+
+def normal_central(sdf_fn: SDFFn, points: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Central-difference normals — 6 SDF taps at ``±eps`` per axis,
+    replicating ``normal`` (``voxel_fragment.frag:134-155``, offsets
+    ``DX/DY/DZ`` at ``:21-23``)."""
+    offs = jnp.eye(3, dtype=points.dtype) * eps
+    comps = [
+        sdf_fn(points + offs[a]) - sdf_fn(points - offs[a])
+        for a in range(3)
+    ]
+    return vnormalize(jnp.stack(comps, axis=-1))
+
+
+def normal_tetrahedron(sdf_fn: SDFFn, points: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Tetrahedron-offset normals — 4 SDF taps (north-star scheme; cheaper
+    than central differences and isotropic)."""
+    dtype = points.dtype
+    k = jnp.array(
+        [[1.0, -1.0, -1.0], [-1.0, -1.0, 1.0], [-1.0, 1.0, -1.0], [1.0, 1.0, 1.0]],
+        dtype=dtype,
+    )
+    n = sum(k[i] * sdf_fn(points + eps * k[i])[..., None] for i in range(4))
+    return vnormalize(n)
+
+
+def normal_autodiff(sdf_fn: SDFFn, points: jnp.ndarray) -> jnp.ndarray:
+    """Exact SDF gradient normals via ``jax.grad`` — free under autodiff and
+    the cleanest choice on TPU (no epsilon, 1 forward + 1 reverse sweep).
+
+    Works for any batch shape because the SDF is pointwise: the gradient of
+    ``sum(sdf(p))`` w.r.t. ``p`` is the per-point gradient.
+    """
+    g = jax.grad(lambda q: jnp.sum(sdf_fn(q)))(points)
+    return vnormalize(g)
+
+
+def estimate_normals(sdf_fn: SDFFn, points: jnp.ndarray, mode: str, eps: float) -> jnp.ndarray:
+    """Dispatch on the configured normal scheme."""
+    if mode == "central":
+        return normal_central(sdf_fn, points, eps)
+    if mode == "tetrahedron":
+        return normal_tetrahedron(sdf_fn, points, eps)
+    if mode == "autodiff":
+        return normal_autodiff(sdf_fn, points)
+    raise ValueError(f"unknown normals mode: {mode!r}")

@@ -1,0 +1,121 @@
+"""The forward rendering pipeline (pure XLA path).
+
+Assembles camera → sphere-trace → normals → soft shadow (+AO) → shade, the
+per-fragment program of ``/root/reference/Code/shader/voxel_fragment.frag:160-211``
+re-expressed as one jit-compiled array program over the whole image.  The
+pixel grid is simply the output array's index space (the reference needs a
+geometry-shader fullscreen quad for this, ``voxel_geometry.geom:26-52``; on
+TPU it is an iota).
+
+This module is the *reference semantics* path: simple, obviously correct, and
+differentiable end-to-end.  The Pallas-fused fast path (``ops/``) is validated
+against it; the implicit-gradient march (``diff.py``) swaps in a custom VJP
+with identical primal values.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from sdf3d_tpu.camera import Camera, camera_rays
+from sdf3d_tpu.config import RenderConfig
+from sdf3d_tpu.lighting import Material, PointLight
+from sdf3d_tpu.march import (
+    ambient_occlusion,
+    estimate_normals,
+    hit_mask,
+    soft_shadow,
+    sphere_trace,
+)
+from sdf3d_tpu.sdf.node import SDFNode, vnormalize
+from sdf3d_tpu.shade import blinn_phong, lambert
+
+
+def shade_pixels(
+    scene: SDFNode,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    distances: jnp.ndarray,
+    light: PointLight,
+    mat: Material,
+    config: RenderConfig,
+) -> jnp.ndarray:
+    """Shade rays given their marched distances; returns RGB ``(..., 3)``.
+
+    Factored out so the differentiable path (``diff.py``) and the Pallas path
+    can reuse the exact shading semantics with their own march outputs.
+    Mirrors ``voxel_fragment.frag:195-210``: the hit point is
+    ``P = origin + d·ray`` — shaded even for misses (no miss branch) unless
+    ``config.background`` composites them out.
+    """
+    sdf_fn = scene.distance
+    p = origins + distances[..., None] * directions
+    n = estimate_normals(sdf_fn, p, config.normals, config.march.epsilon)
+
+    if config.shadow.enabled:
+        # Shadow ray: origin offset 2ε along the normal, toward the light
+        # (``voxel_fragment.frag:205``).
+        shadow_origin = p + n * (2.0 * config.march.epsilon)
+        incident = vnormalize(light.position - p)
+        shadow = soft_shadow(sdf_fn, shadow_origin, incident, config.shadow, config.march)
+    else:
+        shadow = jnp.ones(distances.shape, distances.dtype)
+
+    ao = ambient_occlusion(sdf_fn, p, n, config.ao) if config.ao.enabled else None
+
+    if config.shading == "blinn_phong":
+        rgb = blinn_phong(p, n, origins, light, mat, shadow, ao)
+    elif config.shading == "lambert":
+        rgb = lambert(p, n, light, mat, shadow)
+    else:
+        raise ValueError(f"unknown shading mode: {config.shading!r}")
+
+    if config.background is not None:
+        bg = jnp.asarray(config.background, rgb.dtype)
+        rgb = jnp.where(hit_mask(distances, config.march)[..., None], rgb, bg)
+    return rgb
+
+
+def render_rays(
+    scene: SDFNode,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    light: PointLight,
+    mat: Material,
+    config: RenderConfig,
+) -> jnp.ndarray:
+    """March + shade an arbitrary ray bundle ``(..., 3)`` → RGB ``(..., 3)``.
+
+    The tile-sharded multi-chip path calls this per shard — rays are the unit
+    of data parallelism, exactly as fragments are the reference's implicit
+    parallel axis.
+    """
+    distances = sphere_trace(scene.distance, origins, directions, config.march)
+    return shade_pixels(scene, origins, directions, distances, light, mat, config)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def render(
+    scene: SDFNode,
+    camera: Camera,
+    light: PointLight,
+    mat: Material,
+    config: RenderConfig,
+) -> jnp.ndarray:
+    """Render a full image of shape ``(H, W, 3)`` (the ``gl->plot`` analogue,
+    ``main.cpp:95`` — but jit-compiled, stateless, and differentiable)."""
+    origins, directions = camera_rays(camera, config.width, config.height, config.ray_mode)
+    return render_rays(scene, origins, directions, light, mat, config)
+
+
+def render_depth(
+    scene: SDFNode,
+    camera: Camera,
+    config: RenderConfig,
+) -> jnp.ndarray:
+    """Marched distance per pixel, shape ``(H, W)`` — debugging/AOV output."""
+    origins, directions = camera_rays(camera, config.width, config.height, config.ray_mode)
+    return sphere_trace(scene.distance, origins, directions, config.march)

@@ -1,0 +1,70 @@
+"""Differentiable SDF scene graphs: primitives, CSG combinators, transforms."""
+
+from sdf3d_tpu.sdf.node import SDFNode, as_f32, vdot, vlength, vnormalize
+from sdf3d_tpu.sdf.primitives import (
+    Box,
+    Capsule,
+    Cylinder,
+    Ellipsoid,
+    Plane,
+    RoundBox,
+    Sphere,
+    Torus,
+    box,
+    capsule,
+    cylinder,
+    ellipsoid,
+    ground_plane,
+    plane,
+    round_box,
+    sphere,
+    torus,
+)
+from sdf3d_tpu.sdf.csg import (
+    Intersection,
+    SmoothIntersection,
+    SmoothSubtraction,
+    SmoothUnion,
+    Subtraction,
+    Union,
+    intersection,
+    smooth_intersection,
+    smooth_subtraction,
+    smooth_union,
+    subtraction,
+    union,
+)
+from sdf3d_tpu.sdf.transforms import (
+    Elongate,
+    Onion,
+    RepeatInfinite,
+    Rotate,
+    Round,
+    Scale,
+    Translate,
+    elongate,
+    onion,
+    repeat_infinite,
+    rotate,
+    rotvec_to_matrix,
+    round_edges,
+    scale,
+    translate,
+)
+
+__all__ = [
+    # base
+    "SDFNode", "as_f32", "vdot", "vlength", "vnormalize",
+    # primitives
+    "Box", "Capsule", "Cylinder", "Ellipsoid", "Plane", "RoundBox", "Sphere",
+    "Torus", "box", "capsule", "cylinder", "ellipsoid", "ground_plane",
+    "plane", "round_box", "sphere", "torus",
+    # csg
+    "Intersection", "SmoothIntersection", "SmoothSubtraction", "SmoothUnion",
+    "Subtraction", "Union", "intersection", "smooth_intersection",
+    "smooth_subtraction", "smooth_union", "subtraction", "union",
+    # transforms
+    "Elongate", "Onion", "RepeatInfinite", "Rotate", "Round", "Scale",
+    "Translate", "elongate", "onion", "repeat_infinite", "rotate",
+    "rotvec_to_matrix", "round_edges", "scale", "translate",
+]
