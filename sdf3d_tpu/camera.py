@@ -18,7 +18,7 @@ import math
 import flax.struct as struct
 import jax.numpy as jnp
 
-from sdf3d_tpu.sdf.node import as_f32, vnormalize
+from sdf3d_tpu.sdf.node import as_f32, mat_vec, vnormalize
 from sdf3d_tpu.sdf.transforms import rotvec_to_matrix
 
 
@@ -63,7 +63,7 @@ class Camera:
         V = as_f32(view_matrix)
         Vinv = jnp.linalg.inv(V)
         base = as_f32(base_position)
-        pos = (Vinv @ jnp.append(base, 1.0))[:3]
+        pos = mat_vec(Vinv, jnp.append(base, 1.0))[:3]
         return Camera(position=pos, c2w=Vinv[:3, :3], fov_deg=as_f32(fov_deg))
 
     @staticmethod
@@ -149,7 +149,7 @@ def generate_rays(camera: Camera, qx: jnp.ndarray, qy: jnp.ndarray, aspect_ratio
     """
     z = jnp.broadcast_to(focal_z(camera.fov_deg, ray_mode), qx.shape)
     cam_dir = vnormalize(jnp.stack([qx * aspect_ratio, qy, z], axis=-1))
-    world_dir = cam_dir @ camera.c2w.T
+    world_dir = mat_vec(camera.c2w, cam_dir)
     return vnormalize(world_dir)
 
 

@@ -131,9 +131,15 @@ def soft_shadow(
             jnp.zeros_like(s),
             s * s / (2.0 * jnp.where(prev_sdf == 0.0, _TINY, prev_sdf)),
         )
-        d_est = jnp.sqrt(jnp.maximum(s * s - intersection * intersection, 0.0))
+        d2 = s * s - intersection * intersection
+        d_est = jnp.sqrt(jnp.maximum(d2, 0.0))
         denom = dist - intersection
-        atten = jnp.where(denom > 0.0, k * d_est / jnp.where(denom > 0.0, denom, 1.0), _NO_DARKEN)
+        # Valid update only when the closest-approach estimate is real
+        # (d2 ≥ 0; GLSL's sqrt of a negative gives NaN, and min(x, NaN) keeps
+        # x — i.e. no darkening) and the denominator is positive (GLSL's
+        # max(0,·) otherwise yields ±inf/NaN, again no darkening under min).
+        valid = (denom > 0.0) & (d2 >= 0.0)
+        atten = jnp.where(valid, k * d_est / jnp.where(valid, denom, 1.0), _NO_DARKEN)
         shadow_new = jnp.where(active, jnp.minimum(shadow, atten), shadow)
         dist_new = jnp.where(active, dist + s, dist)
         done = (dist_new > march.max_distance) | (shadow_new < march.epsilon)

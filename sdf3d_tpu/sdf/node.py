@@ -56,6 +56,18 @@ def vdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(a * b, axis=-1)
 
 
+def mat_vec(M: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Apply a (3,3) (or (4,4)) matrix to vectors ``v`` of shape (..., N).
+
+    Implemented as a broadcast multiply + reduce on the VPU rather than
+    ``jnp.matmul``: a K=3 matmul is a terrible fit for the 128×128 MXU and —
+    worse — JAX's default matmul precision truncates operands to bfloat16 on
+    TPU, which costs ~3 decimal digits on every ray direction.  The explicit
+    sum stays in float32.
+    """
+    return jnp.sum(M * v[..., None, :], axis=-1)
+
+
 class SDFNode:
     """Mixin base for every SDF scene-graph node.
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import flax.struct as struct
 import jax.numpy as jnp
 
-from sdf3d_tpu.sdf.node import SDFNode, as_f32, vlength
+from sdf3d_tpu.sdf.node import SDFNode, as_f32, mat_vec, vlength
 
 
 def rotvec_to_matrix(rotvec: jnp.ndarray) -> jnp.ndarray:
@@ -66,7 +66,8 @@ class Rotate(SDFNode):
     def distance(self, p: jnp.ndarray) -> jnp.ndarray:
         R = rotvec_to_matrix(self.rotvec)
         # R⁻¹ = Rᵀ; apply to trailing axis of p.
-        return self.child.distance(p @ R)
+        # p @ R = Rᵀ p per vector; mat_vec keeps it f32 on the VPU.
+        return self.child.distance(mat_vec(R.T, p))
 
 
 @struct.dataclass
