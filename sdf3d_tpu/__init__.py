@@ -36,6 +36,12 @@ from sdf3d_tpu.march import (
     soft_shadow,
     sphere_trace,
 )
+from sdf3d_tpu.diff import (
+    depth_implicit,
+    render_diff,
+    render_rays_diff,
+    sphere_trace_implicit,
+)
 from sdf3d_tpu.render import render, render_depth, render_rays, shade_pixels
 from sdf3d_tpu.scenes import flagship_scene, reference_scene, sphere_scene
 
@@ -49,6 +55,7 @@ __all__ = [
     "reference_light", "reference_material",
     "ambient_occlusion", "estimate_normals", "hit_mask", "normal_autodiff",
     "normal_central", "normal_tetrahedron", "soft_shadow", "sphere_trace",
+    "depth_implicit", "render_diff", "render_rays_diff", "sphere_trace_implicit",
     "render", "render_depth", "render_rays", "shade_pixels",
     "flagship_scene", "reference_scene", "sphere_scene",
     "__version__",

@@ -39,6 +39,14 @@ class ShadowConfig:
     enabled: bool = True
     k: float = 10.0
     max_steps: int = 100
+    #: Gradient treatment of the shadow march under reverse AD:
+    #: - ``"detach"`` — stop_gradient the shadow factor.  Forward output is
+    #:   unchanged; gradients through geometry/lighting still flow via the
+    #:   diffuse/specular terms, only penumbra-shape gradients are dropped.
+    #:   Works with the early-exit while_loop and costs no residual memory.
+    #: - ``"ad"`` — differentiate through the march (requires
+    #:   ``march.early_exit=False``; O(steps) residual memory under AD).
+    grad: str = "detach"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -61,6 +61,8 @@ def shade_pixels(
         shadow_origin = p + n * (2.0 * config.march.epsilon)
         incident = vnormalize(light.position - p)
         shadow = soft_shadow(sdf_fn, shadow_origin, incident, config.shadow, config.march)
+        if config.shadow.grad == "detach":
+            shadow = jax.lax.stop_gradient(shadow)
     else:
         shadow = jnp.ones(distances.shape, distances.dtype)
 
