@@ -1,0 +1,349 @@
+"""The fused Pallas render kernel: ray-gen → march → normals → shadow → AO → shade.
+
+One kernel invocation produces a whole image tile with **zero** HBM traffic
+between stages — the TPU-native re-design of the per-fragment program at
+``/root/reference/Code/shader/voxel_fragment.frag:160-211`` (and the compute
+slot ``Code/kernel/thekernel_1.cl`` the reference left empty).  Design notes:
+
+- **Grid** = image tiles ``(H/TH, W/TW)``; each program computes ``TH×TW``
+  rays.  Rays exist only in registers/VMEM: generated from the grid indices
+  (the pixel grid *is* the output index space — no fullscreen-quad scaffold,
+  cf. ``voxel_geometry.geom:26-52``).
+- **SoA planes**: every per-ray quantity is a ``(TH, TW)`` float32 plane
+  (see ops/scene_program.py for why no ``(...,3)`` axis ever appears).
+- **Early exit**: the march is a ``while_loop`` over steps whose condition
+  ANDs ``step < max_steps`` with ``any(active)`` — per-ray breaks become a
+  lane mask (no data-dependent control flow per lane on TPU), and whole-tile
+  convergence stops the loop, which is effective because adjacent rays are
+  coherent.
+- **Parameters**: scene params and camera/light/material uniforms are flat
+  float32 vectors in SMEM, read as true scalars — the analogue of the
+  reference's GLSL uniforms (``voxel_fragment.frag:5-7``) and of its CL/GL
+  shared parameter buffers (``main.cpp:55-62``).
+
+Outputs: rgb ``(3, H, W)`` plus aux planes t / shadow / ao ``(H, W)`` — the
+aux planes are exactly the residuals the custom VJP needs, so the backward
+pass never re-marches (ops/render_pallas.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sdf3d_tpu.config import RenderConfig
+from sdf3d_tpu.ops.scene_program import compile_scene, scene_param_vector
+from sdf3d_tpu.sdf.node import SDFNode
+
+# Uniform vector layout (indices into the (28,) SMEM vector).
+_U_CAM = 0        # camera position (3)
+_U_C2W = 3        # camera-to-world rotation, row-major (9)
+_U_FZ = 12        # focal z (1)
+_U_LIGHT = 13     # light position (3)
+_U_AMB = 16       # light ambient intensity (1)
+_U_MAT_AMB = 17   # material ambient rgb (3)
+_U_MAT_DIF = 20   # material diffuse rgb (3)
+_U_MAT_REF = 23   # material specular rgb (3)
+_U_SHN = 26       # shininess (1)
+_U_K = 27         # shadow sharpness k (1)
+N_UNIFORMS = 28
+
+
+@dataclasses.dataclass(frozen=True)
+class PallasRenderConfig:
+    """Static kernel parameters (hashable → jit static arg).
+
+    ``tile_h × tile_w`` rays per grid program; float32 min tile is (8, 128).
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests).
+    """
+
+    tile_h: int = 8
+    tile_w: int = 256
+    interpret: bool = False
+
+
+def pack_uniforms(camera, light, mat) -> jnp.ndarray:
+    """Flatten camera/light/material pytrees into the (28,) uniform vector."""
+    from sdf3d_tpu.camera import focal_z  # local import to avoid cycle
+
+    return jnp.concatenate(
+        [
+            jnp.ravel(camera.position.astype(jnp.float32)),
+            jnp.ravel(camera.c2w.astype(jnp.float32)),
+            jnp.ravel(focal_z(camera.fov_deg, "reference")[None].astype(jnp.float32)),
+            jnp.ravel(light.position.astype(jnp.float32)),
+            jnp.ravel(jnp.asarray(light.ambient, jnp.float32)[None]),
+            jnp.ravel(mat.ambient.astype(jnp.float32)),
+            jnp.ravel(mat.diffuse.astype(jnp.float32)),
+            jnp.ravel(mat.specular.astype(jnp.float32)),
+            jnp.ravel(jnp.asarray(mat.shininess, jnp.float32)[None]),
+            jnp.ravel(jnp.asarray(0.0, jnp.float32)[None]),  # shadow k, patched below
+        ]
+    )
+
+
+def _rsqrt(x):
+    return jax.lax.rsqrt(x)
+
+
+def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, cfg: RenderConfig, pc: PallasRenderConfig):
+    """Kernel body. ``soa(px,py,pz,getp)`` is the compiled scene program."""
+    TH, TW = pc.tile_h, pc.tile_w
+    H, W = cfg.height, cfg.width
+    f32 = jnp.float32
+
+    def getp(k):
+        return prm[k]
+
+    def sdf(px, py, pz):
+        return soa(px, py, pz, getp)
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    rows = (i * TH + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)).astype(f32)
+    cols = (j * TW + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1)).astype(f32)
+    # NDC uses the *logical* W/H — padded tiles produce off-screen rays that
+    # are cropped by the caller.
+    qx = (2.0 * (cols + 0.5) / f32(W)) - 1.0
+    qy = 1.0 - (2.0 * (rows + 0.5) / f32(H))
+    ar = f32(W / H)
+
+    # Camera-frame ray, normalized; rotated to world by c2w; re-normalized
+    # (parity with voxel_fragment.frag:191-192).
+    vx = qx * ar
+    vy = qy
+    vz = jnp.full((TH, TW), uni[_U_FZ], f32)
+    inv = _rsqrt(vx * vx + vy * vy + vz * vz)
+    vx, vy, vz = vx * inv, vy * inv, vz * inv
+    m = [uni[_U_C2W + k] for k in range(9)]
+    dx = m[0] * vx + m[1] * vy + m[2] * vz
+    dy = m[3] * vx + m[4] * vy + m[5] * vz
+    dz = m[6] * vx + m[7] * vy + m[8] * vz
+    inv2 = _rsqrt(dx * dx + dy * dy + dz * dz)
+    dx, dy, dz = dx * inv2, dy * inv2, dz * inv2
+
+    ox, oy, oz = uni[_U_CAM], uni[_U_CAM + 1], uni[_U_CAM + 2]
+
+    # ---- primary march (voxel_fragment.frag:86-103 semantics) ----
+    mc = cfg.march
+
+    def march_cond(state):
+        step, _, active = state
+        return jnp.logical_and(step < mc.max_steps, jnp.any(active))
+
+    def march_body(state):
+        step, dist, active = state
+        s = sdf(ox + dist * dx, oy + dist * dy, oz + dist * dz)
+        dist_new = jnp.where(active, dist + s, dist)
+        done = (dist_new > mc.max_distance) | (s < mc.epsilon)
+        return step + 1, dist_new, active & ~done
+
+    _, t, _ = jax.lax.while_loop(
+        march_cond,
+        march_body,
+        (jnp.int32(0), jnp.zeros((TH, TW), f32), jnp.ones((TH, TW), jnp.bool_)),
+    )
+
+    hx, hy, hz = ox + t * dx, oy + t * dy, oz + t * dz
+
+    # ---- normals ----
+    e = f32(mc.epsilon)
+    if cfg.normals == "central":
+        nx = sdf(hx + e, hy, hz) - sdf(hx - e, hy, hz)
+        ny = sdf(hx, hy + e, hz) - sdf(hx, hy - e, hz)
+        nz = sdf(hx, hy, hz + e) - sdf(hx, hy, hz - e)
+    elif cfg.normals == "tetrahedron":
+        # 4 taps at (1,-1,-1),(-1,-1,1),(-1,1,-1),(1,1,1)·e.
+        s0 = sdf(hx + e, hy - e, hz - e)
+        s1 = sdf(hx - e, hy - e, hz + e)
+        s2 = sdf(hx - e, hy + e, hz - e)
+        s3 = sdf(hx + e, hy + e, hz + e)
+        nx = s0 - s1 - s2 + s3
+        ny = -s0 - s1 + s2 + s3
+        nz = -s0 + s1 - s2 + s3
+    else:  # pragma: no cover - validated by RenderConfig
+        raise ValueError(f"pallas path supports central/tetrahedron normals, not {cfg.normals!r}")
+    ninv = _rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-24))
+    nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
+
+    # ---- incident light direction ----
+    lx, ly, lz = uni[_U_LIGHT], uni[_U_LIGHT + 1], uni[_U_LIGHT + 2]
+    ix, iy, iz = lx - hx, ly - hy, lz - hz
+    iinv = _rsqrt(jnp.maximum(ix * ix + iy * iy + iz * iz, 1e-24))
+    ix, iy, iz = ix * iinv, iy * iinv, iz * iinv
+
+    # ---- soft shadow march (voxel_fragment.frag:105-132 semantics) ----
+    if cfg.shadow.enabled:
+        k = uni[_U_K]
+        sox, soy, soz = hx + 2.0 * e * nx, hy + 2.0 * e * ny, hz + 2.0 * e * nz
+
+        def sh_cond(state):
+            step, _, _, _, active = state
+            return jnp.logical_and(step < cfg.shadow.max_steps, jnp.any(active))
+
+        def sh_body(state):
+            step, dist, prev, sh, active = state
+            s = sdf(sox + dist * ix, soy + dist * iy, soz + dist * iz)
+            inter = jnp.where(step == 0, 0.0, s * s / (2.0 * jnp.where(prev == 0.0, 1e-30, prev)))
+            d2 = s * s - inter * inter
+            denom = dist - inter
+            valid = (denom > 0.0) & (d2 >= 0.0)
+            atten = jnp.where(valid, k * jnp.sqrt(jnp.maximum(d2, 0.0)) / jnp.where(valid, denom, 1.0), 1e30)
+            sh_new = jnp.where(active, jnp.minimum(sh, atten), sh)
+            dist_new = jnp.where(active, dist + s, dist)
+            done = (dist_new > mc.max_distance) | (sh_new < mc.epsilon)
+            return step + 1, dist_new, jnp.where(active, s, prev), sh_new, active & ~done
+
+        _, _, _, shadow, _ = jax.lax.while_loop(
+            sh_cond,
+            sh_body,
+            (
+                jnp.int32(0),
+                jnp.zeros((TH, TW), f32),
+                jnp.full((TH, TW), jnp.inf, f32),
+                jnp.ones((TH, TW), f32),
+                jnp.ones((TH, TW), jnp.bool_),
+            ),
+        )
+        shadow = jnp.clip(shadow, 0.0, 1.0)
+    else:
+        shadow = jnp.ones((TH, TW), f32)
+
+    # ---- ambient occlusion (optional; north-star capability) ----
+    if cfg.ao.enabled:
+        occ = jnp.zeros((TH, TW), f32)
+        weight = 1.0
+        for tap in range(1, cfg.ao.samples + 1):
+            h = cfg.ao.step * tap
+            sa = sdf(hx + h * nx, hy + h * ny, hz + h * nz)
+            occ = occ + weight * (h - sa)
+            weight *= cfg.ao.falloff
+        ao = jnp.clip(1.0 - cfg.ao.strength * occ, 0.0, 1.0)
+    else:
+        ao = jnp.ones((TH, TW), f32)
+
+    # ---- shading (voxel_fragment.frag:199-210) ----
+    wx, wy, wz = ox - hx, oy - hy, oz - hz
+    winv = _rsqrt(jnp.maximum(wx * wx + wy * wy + wz * wz, 1e-24))
+    wx, wy, wz = wx * winv, wy * winv, wz * winv
+    hwx, hwy, hwz = ix + wx, iy + wy, iz + wz
+    hwinv = _rsqrt(jnp.maximum(hwx * hwx + hwy * hwy + hwz * hwz, 1e-24))
+    hwx, hwy, hwz = hwx * hwinv, hwy * hwinv, hwz * hwinv
+
+    ndoth = jnp.maximum(nx * hwx + ny * hwy + nz * hwz, 0.0)
+    spec = jnp.power(ndoth, uni[_U_SHN])
+    dif = jnp.clip(nx * ix + ny * iy + nz * iz, 0.0, 1.0) * shadow
+
+    amb_scale = uni[_U_AMB] * ao if cfg.ao.enabled else uni[_U_AMB]
+    if cfg.shading == "blinn_phong":
+        r = amb_scale * uni[_U_MAT_AMB] + dif * uni[_U_MAT_DIF] + spec * uni[_U_MAT_REF]
+        g = amb_scale * uni[_U_MAT_AMB + 1] + dif * uni[_U_MAT_DIF + 1] + spec * uni[_U_MAT_REF + 1]
+        b = amb_scale * uni[_U_MAT_AMB + 2] + dif * uni[_U_MAT_DIF + 2] + spec * uni[_U_MAT_REF + 2]
+    elif cfg.shading == "lambert":
+        r = amb_scale * uni[_U_MAT_AMB] + dif * uni[_U_MAT_DIF]
+        g = amb_scale * uni[_U_MAT_AMB + 1] + dif * uni[_U_MAT_DIF + 1]
+        b = amb_scale * uni[_U_MAT_AMB + 2] + dif * uni[_U_MAT_DIF + 2]
+    else:  # pragma: no cover
+        raise ValueError(f"unknown shading mode {cfg.shading!r}")
+
+    if cfg.background is not None:
+        miss = t > mc.max_distance
+        bg = cfg.background
+        r = jnp.where(miss, f32(bg[0]), r)
+        g = jnp.where(miss, f32(bg[1]), g)
+        b = jnp.where(miss, f32(bg[2]), b)
+
+    rgb_ref[0, :, :] = r
+    rgb_ref[1, :, :] = g
+    rgb_ref[2, :, :] = b
+    t_ref[:, :] = t
+    sh_ref[:, :] = shadow
+    ao_ref[:, :] = ao
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("scene_treedef", "leaf_shapes", "cfg", "pc"))
+def _render_kernel_call(scene_treedef, leaf_shapes, params, uniforms, cfg: RenderConfig, pc: PallasRenderConfig):
+    """jit-compiled pallas_call wrapper keyed on the static scene structure.
+
+    The scene is rebuilt from (treedef, leaf_shapes) with dummy leaves — the
+    emitted program depends only on node types and leaf shapes; values are
+    read from the SMEM ``params`` vector at run time, so parameter updates
+    never recompile.
+    """
+    dummies = [jnp.zeros(shape, jnp.float32) for shape in leaf_shapes]
+    scene = jax.tree_util.tree_unflatten(scene_treedef, dummies)
+    soa = compile_scene(scene)
+    H, W = cfg.height, cfg.width
+    TH, TW = pc.tile_h, pc.tile_w
+    Hp, Wp = _round_up(H, TH), _round_up(W, TW)
+    grid = (Hp // TH, Wp // TW)
+
+    kernel = functools.partial(_render_tile_kernel, soa=soa, cfg=cfg, pc=pc)
+    # Worst-case per-ray SDF evals: march + 4-6 normal taps + shadow + AO.
+    n_taps = cfg.march.max_steps + 6 + (cfg.shadow.max_steps if cfg.shadow.enabled else 0) + (
+        cfg.ao.samples if cfg.ao.enabled else 0
+    )
+    flops_per_eval = 40 * max(1, params.shape[0] // 4)
+    cost = pl.CostEstimate(
+        flops=Hp * Wp * n_taps * flops_per_eval,
+        bytes_accessed=Hp * Wp * 4 * 6,
+        transcendentals=Hp * Wp * n_taps,
+    )
+
+    rgb, t, sh, ao = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, TH, TW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TH, TW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TH, TW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TH, TW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, Hp, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+        ],
+        cost_estimate=cost,
+        interpret=pc.interpret,
+    )(uniforms, params)
+
+    rgb = jnp.transpose(rgb[:, :H, :W], (1, 2, 0))
+    return rgb, t[:H, :W], sh[:H, :W], ao[:H, :W]
+
+
+def render_kernel_forward(
+    scene: SDFNode,
+    camera,
+    light,
+    mat,
+    cfg: RenderConfig,
+    pc: PallasRenderConfig = PallasRenderConfig(),
+):
+    """Fused forward render. Returns ``(rgb (H,W,3), t, shadow, ao)``.
+
+    The kernel is recompiled per (scene structure, cfg, pc); scene/camera/
+    light/material *values* are runtime SMEM inputs — no recompation when
+    parameters change (the inverse-rendering hot path).
+    """
+    params = scene_param_vector(scene)
+    uniforms = pack_uniforms(camera, light, mat)
+    uniforms = uniforms.at[_U_K].set(jnp.asarray(cfg.shadow.k, jnp.float32))
+    leaves, treedef = jax.tree_util.tree_flatten(scene)
+    leaf_shapes = tuple(jnp.shape(l) for l in leaves)
+    return _render_kernel_call(treedef, leaf_shapes, params, uniforms, cfg, pc)

@@ -42,6 +42,8 @@ def shade_pixels(
     light: PointLight,
     mat: Material,
     config: RenderConfig,
+    shadow_override: jnp.ndarray | None = None,
+    ao_override: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Shade rays given their marched distances; returns RGB ``(..., 3)``.
 
@@ -50,12 +52,19 @@ def shade_pixels(
     Mirrors ``voxel_fragment.frag:195-210``: the hit point is
     ``P = origin + d·ray`` — shaded even for misses (no miss branch) unless
     ``config.background`` composites them out.
+
+    ``shadow_override`` / ``ao_override`` substitute precomputed (detached)
+    factors for the secondary marches — used by the Pallas custom VJP, whose
+    backward pass reuses the forward kernel's shadow/AO planes instead of
+    re-marching.
     """
     sdf_fn = scene.distance
     p = origins + distances[..., None] * directions
     n = estimate_normals(sdf_fn, p, config.normals, config.march.epsilon)
 
-    if config.shadow.enabled:
+    if shadow_override is not None:
+        shadow = shadow_override
+    elif config.shadow.enabled:
         # Shadow ray: origin offset 2ε along the normal, toward the light
         # (``voxel_fragment.frag:205``).
         shadow_origin = p + n * (2.0 * config.march.epsilon)
@@ -66,7 +75,10 @@ def shade_pixels(
     else:
         shadow = jnp.ones(distances.shape, distances.dtype)
 
-    ao = ambient_occlusion(sdf_fn, p, n, config.ao) if config.ao.enabled else None
+    if ao_override is not None:
+        ao = ao_override if config.ao.enabled else None
+    else:
+        ao = ambient_occlusion(sdf_fn, p, n, config.ao) if config.ao.enabled else None
 
     if config.shading == "blinn_phong":
         rgb = blinn_phong(p, n, origins, light, mat, shadow, ao)

@@ -1,0 +1,174 @@
+"""Fused Pallas kernel: parity with the XLA path and custom-VJP gradients.
+
+Runs in Pallas interpreter mode on CPU (SURVEY.md §4: distributed/kernel
+logic tested without TPU hardware); the same kernel compiles on a real chip
+with ``interpret=False``.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sdf3d_tpu as s
+from sdf3d_tpu.config import AOConfig, MarchConfig
+from sdf3d_tpu.ops import PallasRenderConfig, render_pallas
+from sdf3d_tpu.ops.render_pallas import render_pallas_aux
+from sdf3d_tpu.ops.scene_program import (
+    compile_scene,
+    count_params,
+    scene_param_vector,
+    unflatten_scene_params,
+)
+
+PC = PallasRenderConfig(tile_h=8, tile_w=128, interpret=True)
+CFG = dataclasses.replace(s.REFERENCE_CONFIG, width=128, height=96)
+CAM = s.Camera.reference()
+LIGHT, MAT = s.reference_light(), s.reference_material()
+
+
+def _kitchen_sink_scene():
+    """Every node type the emitter registry supports."""
+    return (
+        s.sdf.smooth_subtraction(
+            s.sdf.rotate(s.sdf.box((0.3, 0.2, 0.1), center=(0, 0.3, 0)), (0.3, 0.5, 0.1)).translate((0.1, 0, 0)),
+            s.sdf.torus(0.4, 0.1).scale(1.2).round(0.02),
+            k=0.1,
+        )
+        | s.sdf.capsule((0, 0, 0), (0.2, 0.5, 0.1), 0.1)
+        | s.sdf.cylinder(0.2, 0.3, center=(0.5, 0.2, 0)).shell(0.02)
+        | s.sdf.ellipsoid((0.3, 0.2, 0.1), center=(-0.5, 0.3, 0))
+        | s.sdf.elongate(s.sdf.sphere(radius=0.1), (0.2, 0.0, 0.0))
+        | s.sdf.repeat_infinite(s.sdf.sphere(radius=0.05), (2.0, 0.0, 2.0))
+        | s.sdf.smooth_intersection(s.sdf.sphere(radius=0.3), s.sdf.box((0.2, 0.2, 0.2)), k=0.05)
+    )
+
+
+class TestSceneProgram:
+    @pytest.mark.parametrize(
+        "scene_fn", [s.reference_scene, s.flagship_scene, _kitchen_sink_scene]
+    )
+    def test_soa_matches_pytree_distance(self, scene_fn):
+        scene = scene_fn()
+        vec = scene_param_vector(scene)
+        soa = compile_scene(scene)
+        pts = jax.random.uniform(jax.random.PRNGKey(0), (16, 128, 3), minval=-2, maxval=2)
+        d_soa = soa(pts[..., 0], pts[..., 1], pts[..., 2], lambda i: vec[i])
+        d_ref = scene.distance(pts)
+        np.testing.assert_allclose(np.asarray(d_soa), np.asarray(d_ref), atol=1e-6)
+
+    def test_param_vector_roundtrip(self):
+        scene = s.flagship_scene()
+        vec = scene_param_vector(scene)
+        assert vec.shape == (count_params(scene),)
+        rebuilt = unflatten_scene_params(scene, vec)
+        pts = jax.random.uniform(jax.random.PRNGKey(1), (8, 128, 3), minval=-1, maxval=1)
+        np.testing.assert_allclose(
+            np.asarray(rebuilt.distance(pts)), np.asarray(scene.distance(pts)), atol=0
+        )
+
+    def test_unknown_node_raises(self):
+        class Weird(s.sdf.SDFNode):
+            pass
+
+        soa = compile_scene(Weird())
+        with pytest.raises(TypeError, match="no Pallas emitter"):
+            soa(jnp.zeros((8, 128)), jnp.zeros((8, 128)), jnp.zeros((8, 128)), lambda i: 0.0)
+
+
+class TestKernelParity:
+    def test_reference_scene_matches_xla(self):
+        rgb, t, _, _ = render_pallas_aux(CFG, s.reference_scene(), CAM, LIGHT, MAT, PC)
+        img = np.asarray(s.render(s.reference_scene(), CAM, LIGHT, MAT, CFG))
+        np.testing.assert_allclose(np.asarray(rgb), img, atol=1e-4)
+
+    def test_flagship_scene_matches_xla(self):
+        rgb, *_ = render_pallas_aux(CFG, s.flagship_scene(), CAM, LIGHT, MAT, PC)
+        img = np.asarray(s.render(s.flagship_scene(), CAM, LIGHT, MAT, CFG))
+        np.testing.assert_allclose(np.asarray(rgb), img, atol=1e-4)
+
+    def test_tetrahedron_normals_and_ao(self):
+        cfg = dataclasses.replace(
+            CFG, normals="tetrahedron", ao=AOConfig(enabled=True)
+        )
+        rgb, *_ = render_pallas_aux(cfg, s.flagship_scene(), CAM, LIGHT, MAT, PC)
+        img = np.asarray(s.render(s.flagship_scene(), CAM, LIGHT, MAT, cfg))
+        np.testing.assert_allclose(np.asarray(rgb), img, atol=1e-4)
+
+    def test_background_compositing(self):
+        cfg = dataclasses.replace(CFG, background=(1.0, 0.0, 1.0))
+        rgb, *_ = render_pallas_aux(cfg, s.reference_scene(), CAM, LIGHT, MAT, PC)
+        img = np.asarray(s.render(s.reference_scene(), CAM, LIGHT, MAT, cfg))
+        np.testing.assert_allclose(np.asarray(rgb), img, atol=1e-4)
+        assert np.allclose(np.asarray(rgb)[0, 64], [1.0, 0.0, 1.0])  # sky pixel
+
+    def test_lambert_shading(self):
+        cfg = dataclasses.replace(CFG, shading="lambert")
+        rgb, *_ = render_pallas_aux(cfg, s.reference_scene(), CAM, LIGHT, MAT, PC)
+        img = np.asarray(s.render(s.reference_scene(), CAM, LIGHT, MAT, cfg))
+        np.testing.assert_allclose(np.asarray(rgb), img, atol=1e-4)
+
+    def test_non_divisible_image_padded_and_cropped(self):
+        cfg = dataclasses.replace(CFG, width=100, height=75)
+        rgb, t, _, _ = render_pallas_aux(cfg, s.reference_scene(), CAM, LIGHT, MAT, PC)
+        assert rgb.shape == (75, 100, 3)
+        img = np.asarray(s.render(s.reference_scene(), CAM, LIGHT, MAT, cfg))
+        np.testing.assert_allclose(np.asarray(rgb), img, atol=1e-4)
+
+    def test_rotated_camera(self):
+        cam = s.Camera.orbit(azimuth_deg=40.0, elevation_deg=20.0, radius=2.0)
+        rgb, *_ = render_pallas_aux(CFG, s.flagship_scene(), cam, LIGHT, MAT, PC)
+        img = np.asarray(s.render(s.flagship_scene(), cam, LIGHT, MAT, CFG))
+        diff = np.abs(np.asarray(rgb) - img).max(-1)
+        # A handful of silhouette rays may flip a march step on last-bit
+        # rounding differences; everything else must agree tightly.
+        assert (diff > 1e-4).mean() < 5e-4, f"{(diff > 1e-4).sum()} pixels off"
+        assert diff.max() < 0.05
+
+    def test_param_change_no_new_structure_needed(self):
+        """Same tree structure, different values — runs through the same
+        compiled kernel (values are SMEM inputs)."""
+        a, *_ = render_pallas_aux(CFG, s.reference_scene(), CAM, LIGHT, MAT, PC)
+        scene2 = s.sdf.union(
+            s.sdf.ground_plane(), s.sdf.sphere(center=(0.3, 0.4, 0.0), radius=0.25)
+        )
+        b, *_ = render_pallas_aux(CFG, scene2, CAM, LIGHT, MAT, PC)
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() > 0.01
+
+
+class TestKernelGradients:
+    def _patch(self, img):
+        return img[40:56, 56:72]
+
+    def test_scene_gradient_matches_render_diff(self):
+        def loss_p(r):
+            sc = s.sdf.union(s.sdf.ground_plane(), s.sdf.sphere(center=(0.0, 0.4, 0.0), radius=r))
+            return jnp.sum(self._patch(render_pallas(CFG, PC, sc, CAM, LIGHT, MAT)))
+
+        def loss_d(r):
+            sc = s.sdf.union(s.sdf.ground_plane(), s.sdf.sphere(center=(0.0, 0.4, 0.0), radius=r))
+            return jnp.sum(self._patch(s.render_diff(sc, CAM, LIGHT, MAT, CFG)))
+
+        gp = jax.grad(loss_p)(jnp.float32(0.2))
+        gd = jax.grad(loss_d)(jnp.float32(0.2))
+        assert gp == pytest.approx(float(gd), rel=1e-3)
+
+    def test_camera_gradient_flows(self):
+        def loss(z):
+            cam = s.Camera(position=jnp.array([0.0, 0.2, z]), c2w=jnp.eye(3), fov_deg=jnp.float32(60.0))
+            return jnp.sum(self._patch(render_pallas(CFG, PC, s.reference_scene(), cam, LIGHT, MAT)))
+
+        g = jax.grad(loss)(jnp.float32(2.0))
+        assert np.isfinite(g) and g != 0.0
+
+    def test_light_and_material_gradients_flow(self):
+        def loss(lx, shn):
+            light = s.point_light(position=(lx, 5.0, 0.0))
+            mat = s.material(shininess=shn)
+            return jnp.sum(render_pallas(CFG, PC, s.reference_scene(), CAM, light, mat))
+
+        gl, gm = jax.grad(loss, argnums=(0, 1))(jnp.float32(5.0), jnp.float32(12.0))
+        assert np.isfinite(gl) and gl != 0.0
+        assert np.isfinite(gm) and gm != 0.0
