@@ -44,6 +44,8 @@ from sdf3d_tpu.diff import (
 )
 from sdf3d_tpu.render import render, render_depth, render_rays, shade_pixels
 from sdf3d_tpu.scenes import flagship_scene, reference_scene, sphere_scene
+from sdf3d_tpu.fit import FitConfig, FitResult, fit_scene
+from sdf3d_tpu.checkpoint import load_checkpoint, save_checkpoint
 
 __version__ = "0.1.0"
 
@@ -58,5 +60,7 @@ __all__ = [
     "depth_implicit", "render_diff", "render_rays_diff", "sphere_trace_implicit",
     "render", "render_depth", "render_rays", "shade_pixels",
     "flagship_scene", "reference_scene", "sphere_scene",
+    "FitConfig", "FitResult", "fit_scene",
+    "load_checkpoint", "save_checkpoint",
     "__version__",
 ]

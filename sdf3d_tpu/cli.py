@@ -1,0 +1,184 @@
+"""Command-line driver: render / fit / bench / info.
+
+The TPU-native replacement for the reference's interactive host program
+(``/root/reference/Code/src/main.cpp:34-110``): instead of a window + arcball
+loop, explicit camera parameters and image files; instead of a build step,
+jit compilation; instead of frame tic/toc, a rays/s benchmark.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+
+def _build_scene(name: str):
+    import sdf3d_tpu as s
+
+    scenes = {
+        "reference": s.reference_scene,
+        "flagship": s.flagship_scene,
+        "sphere": s.sphere_scene,
+    }
+    if name not in scenes:
+        raise SystemExit(f"unknown scene {name!r}; choose from {sorted(scenes)}")
+    return scenes[name]()
+
+
+def _build_config(args):
+    import sdf3d_tpu as s
+
+    cfg = s.REFERENCE_CONFIG
+    updates = {}
+    if args.width:
+        updates["width"] = args.width
+    if args.height:
+        updates["height"] = args.height
+    if getattr(args, "normals", None):
+        updates["normals"] = args.normals
+    if getattr(args, "ao", False):
+        updates["ao"] = dataclasses.replace(cfg.ao, enabled=True)
+    return dataclasses.replace(cfg, **updates) if updates else cfg
+
+
+def _build_camera(args):
+    import sdf3d_tpu as s
+
+    if args.azimuth or args.elevation:
+        return s.Camera.orbit(
+            azimuth_deg=args.azimuth, elevation_deg=args.elevation, radius=args.radius
+        )
+    return s.Camera.reference()
+
+
+def cmd_render(args) -> int:
+    import sdf3d_tpu as s
+    from sdf3d_tpu.utils import write_png
+    from sdf3d_tpu.viz import turbo
+
+    scene = _build_scene(args.scene)
+    cfg = _build_config(args)
+    cam = _build_camera(args)
+    light, mat = s.reference_light(), s.reference_material()
+
+    if args.engine == "pallas":
+        from sdf3d_tpu.ops import PallasRenderConfig, render_pallas
+
+        img = render_pallas(cfg, PallasRenderConfig(interpret=args.interpret), scene, cam, light, mat)
+    else:
+        img = s.render(scene, cam, light, mat, cfg)
+
+    if args.depth:
+        d = s.render_depth(scene, cam, cfg)
+        img = turbo(np.clip(np.asarray(d) / 5.0, 0.0, 1.0))
+
+    write_png(args.out, np.asarray(img))
+    print(f"wrote {cfg.width}x{cfg.height} -> {args.out}")
+    return 0
+
+
+def cmd_fit(args) -> int:
+    import jax.numpy as jnp
+
+    import sdf3d_tpu as s
+    from sdf3d_tpu.fit import FitConfig, fit_scene
+    from sdf3d_tpu.utils import MetricsLogger
+
+    cfg = _build_config(args)
+    cam, light, mat = s.Camera.reference(), s.reference_light(), s.reference_material()
+    target = s.render(_build_scene(args.scene), cam, light, mat, cfg)
+    # Perturbed init: the demo recovers the reference sphere's radius/center.
+    scene0 = s.sdf.union(
+        s.sdf.ground_plane(),
+        s.sdf.sphere(center=(0.05, 0.45, 0.0), radius=0.25),
+    )
+    logger = MetricsLogger(args.metrics) if args.metrics else MetricsLogger(echo=True)
+    import jax
+
+    trainable = jax.tree_util.tree_map(lambda _: True, scene0)
+    trainable = trainable.replace(a=jax.tree_util.tree_map(lambda _: False, scene0.a))
+    result = fit_scene(
+        target, scene0, cam, light, mat, cfg,
+        FitConfig(steps=args.steps, learning_rate=args.lr,
+                  checkpoint_every=args.checkpoint_every,
+                  checkpoint_dir=args.checkpoint_dir),
+        logger=logger,
+        trainable=trainable,
+    )
+    print(f"final loss {result.losses[-1]:.6f} after {result.steps_run} steps "
+          f"({result.rays_per_second:.3g} rays/s fwd+bwd)")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from sdf3d_tpu.bench import run_benchmark
+
+    result = run_benchmark(width=args.width or 1920, height=args.height or 1080,
+                           engine=args.engine, interpret=args.interpret)
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    import sdf3d_tpu
+
+    print(f"sdf3d-tpu {sdf3d_tpu.__version__}")
+    print(f"jax {jax.__version__}")
+    print(f"default backend: {jax.default_backend()}")
+    for d in jax.devices():
+        print(f"  {d}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="sdf3d", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    pr = sub.add_parser("render", help="render a scene to a PNG")
+    pr.add_argument("--scene", default="reference")
+    pr.add_argument("--width", type=int, default=0)
+    pr.add_argument("--height", type=int, default=0)
+    pr.add_argument("--out", default="render.png")
+    pr.add_argument("--azimuth", type=float, default=0.0)
+    pr.add_argument("--elevation", type=float, default=0.0)
+    pr.add_argument("--radius", type=float, default=2.0)
+    pr.add_argument("--normals", choices=["central", "tetrahedron", "autodiff"], default=None)
+    pr.add_argument("--ao", action="store_true")
+    pr.add_argument("--depth", action="store_true", help="write turbo-mapped depth instead of RGB")
+    pr.add_argument("--engine", choices=["xla", "pallas"], default="xla")
+    pr.add_argument("--interpret", action="store_true", help="Pallas interpreter mode (CPU)")
+    pr.set_defaults(fn=cmd_render)
+
+    pf = sub.add_parser("fit", help="inverse-rendering demo: recover scene params")
+    pf.add_argument("--scene", default="reference")
+    pf.add_argument("--width", type=int, default=96)
+    pf.add_argument("--height", type=int, default=72)
+    pf.add_argument("--steps", type=int, default=100)
+    pf.add_argument("--lr", type=float, default=1e-2)
+    pf.add_argument("--metrics", default=None, help="JSONL metrics file")
+    pf.add_argument("--checkpoint-dir", default=None)
+    pf.add_argument("--checkpoint-every", type=int, default=0)
+    pf.set_defaults(fn=cmd_fit)
+
+    pb = sub.add_parser("bench", help="throughput benchmark (prints one JSON line)")
+    pb.add_argument("--width", type=int, default=0)
+    pb.add_argument("--height", type=int, default=0)
+    pb.add_argument("--engine", choices=["xla", "pallas"], default="pallas")
+    pb.add_argument("--interpret", action="store_true")
+    pb.set_defaults(fn=cmd_bench)
+
+    pi = sub.add_parser("info", help="version and device info")
+    pi.set_defaults(fn=cmd_info)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

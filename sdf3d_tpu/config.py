@@ -87,6 +87,12 @@ class RenderConfig:
 
     width: int = 800
     height: int = 600
+    #: NDC mapping overrides for sharded row-slab rendering: a device kernel
+    #: emits ``height`` rows but maps pixel indices through the *full* image
+    #: extent (``ndc_height``/``ndc_width``), offset by the row0 uniform.
+    #: ``None`` (the default) means NDC extent == output extent.
+    ndc_height: int | None = None
+    ndc_width: int | None = None
     march: MarchConfig = MarchConfig()
     shadow: ShadowConfig = ShadowConfig()
     ao: AOConfig = AOConfig()

@@ -52,7 +52,8 @@ _U_MAT_DIF = 20   # material diffuse rgb (3)
 _U_MAT_REF = 23   # material specular rgb (3)
 _U_SHN = 26       # shininess (1)
 _U_K = 27         # shadow sharpness k (1)
-N_UNIFORMS = 28
+_U_ROW0 = 28      # absolute row offset of this shard's slab (1; 0 unsharded)
+N_UNIFORMS = 29
 
 
 @dataclasses.dataclass(frozen=True)
@@ -84,6 +85,7 @@ def pack_uniforms(camera, light, mat) -> jnp.ndarray:
             jnp.ravel(mat.specular.astype(jnp.float32)),
             jnp.ravel(jnp.asarray(mat.shininess, jnp.float32)[None]),
             jnp.ravel(jnp.asarray(0.0, jnp.float32)[None]),  # shadow k, patched below
+            jnp.ravel(jnp.asarray(0.0, jnp.float32)[None]),  # row0, patched when sharded
         ]
     )
 
@@ -95,7 +97,10 @@ def _rsqrt(x):
 def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, cfg: RenderConfig, pc: PallasRenderConfig):
     """Kernel body. ``soa(px,py,pz,getp)`` is the compiled scene program."""
     TH, TW = pc.tile_h, pc.tile_w
-    H, W = cfg.height, cfg.width
+    # NDC spans the logical image; under sharding a slab emits cfg.height rows
+    # of an ndc_height-tall image (offset via the row0 uniform).
+    H = cfg.ndc_height or cfg.height
+    W = cfg.ndc_width or cfg.width
     f32 = jnp.float32
 
     def getp(k):
@@ -106,7 +111,8 @@ def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, cfg: R
 
     i = pl.program_id(0)
     j = pl.program_id(1)
-    rows = (i * TH + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)).astype(f32)
+    # row0 shifts this device's slab to absolute image rows under sharding.
+    rows = uni[_U_ROW0] + (i * TH + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)).astype(f32)
     cols = (j * TW + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1)).astype(f32)
     # NDC uses the *logical* W/H — padded tiles produce off-screen rays that
     # are cropped by the caller.

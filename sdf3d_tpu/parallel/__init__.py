@@ -1,0 +1,24 @@
+"""Multi-chip execution: tile-sharded rendering over a device mesh.
+
+The reference is single-process, single-GPU (SURVEY.md §2: no distributed
+code anywhere in its tree); its only parallel axis is the fragment grid.  The
+TPU-native scaling story keeps exactly that axis: **shard the pixel grid**
+across chips (rows of the image → row slabs per device) while scene / camera
+/ light / material parameters stay replicated, and all-reduce parameter
+gradients with ``psum`` over ICI (BASELINE north star).
+"""
+
+from sdf3d_tpu.parallel.mesh import make_mesh, tile_axis
+from sdf3d_tpu.parallel.shard_render import (
+    render_sharded,
+    render_pallas_sharded,
+    loss_and_grad_sharded,
+)
+
+__all__ = [
+    "make_mesh",
+    "tile_axis",
+    "render_sharded",
+    "render_pallas_sharded",
+    "loss_and_grad_sharded",
+]
