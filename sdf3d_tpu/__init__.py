@@ -43,7 +43,15 @@ from sdf3d_tpu.diff import (
     sphere_trace_implicit,
 )
 from sdf3d_tpu.render import render, render_depth, render_rays, shade_pixels
-from sdf3d_tpu.scenes import flagship_scene, reference_scene, sphere_scene
+from sdf3d_tpu.scenes import (
+    capsule_chain,
+    csg_showcase,
+    flagship_scene,
+    lattice_scene,
+    random_blobs,
+    reference_scene,
+    sphere_scene,
+)
 from sdf3d_tpu.fit import FitConfig, FitResult, fit_scene
 from sdf3d_tpu.checkpoint import load_checkpoint, save_checkpoint
 
@@ -59,7 +67,8 @@ __all__ = [
     "normal_central", "normal_tetrahedron", "soft_shadow", "sphere_trace",
     "depth_implicit", "render_diff", "render_rays_diff", "sphere_trace_implicit",
     "render", "render_depth", "render_rays", "shade_pixels",
-    "flagship_scene", "reference_scene", "sphere_scene",
+    "capsule_chain", "csg_showcase", "flagship_scene", "lattice_scene",
+    "random_blobs", "reference_scene", "sphere_scene",
     "FitConfig", "FitResult", "fit_scene",
     "load_checkpoint", "save_checkpoint",
     "__version__",

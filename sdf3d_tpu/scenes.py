@@ -8,12 +8,22 @@ pixel is also the thing inverse rendering optimizes.
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
+
 from sdf3d_tpu.sdf import (
     SDFNode,
+    box,
+    capsule,
+    cylinder,
     ground_plane,
+    onion,
+    repeat_infinite,
     round_box,
+    smooth_subtraction,
     smooth_union,
     sphere,
+    subtraction,
     torus,
     union,
 )
@@ -42,3 +52,55 @@ def flagship_scene() -> SDFNode:
 def sphere_scene() -> SDFNode:
     """Single sphere (BASELINE config 1: 256×256 Lambertian smoke scene)."""
     return sphere(center=(0.0, 0.4, 0.0), radius=0.2)
+
+
+def csg_showcase() -> SDFNode:
+    """Hard + smooth CSG sampler: carved box, shelled sphere, blended pillar."""
+    carved = subtraction(
+        box(half_extents=(0.25, 0.25, 0.25), center=(-0.6, 0.3, 0.0)),
+        sphere(center=(-0.6, 0.45, 0.2), radius=0.22),
+    )
+    shell = onion(sphere(center=(0.0, 0.35, 0.0), radius=0.25), 0.02) & box(
+        half_extents=(0.3, 0.18, 0.3), center=(0.0, 0.22, 0.0)
+    )
+    pillar = smooth_union(
+        cylinder(radius=0.1, half_height=0.3, center=(0.6, 0.3, 0.0)),
+        sphere(center=(0.6, 0.65, 0.0), radius=0.15),
+        k=0.1,
+    )
+    return union(ground_plane(), carved, shell, pillar)
+
+
+def lattice_scene(period: float = 1.2, radius: float = 0.18) -> SDFNode:
+    """Infinite xz lattice of spheres over the ground plane — the march-depth
+    stress scene (many occluders, long shadow rays)."""
+    field = repeat_infinite(
+        sphere(center=(0.0, 0.35, 0.0), radius=radius), (period, 0.0, period)
+    )
+    return union(ground_plane(), field)
+
+
+def capsule_chain(n: int = 5) -> SDFNode:
+    """Smooth-blended chain of capsules — a deep CSG tree (2n+1 nodes) for
+    scene-compiler and march scaling tests."""
+    out = None
+    for i in range(n):
+        a = (-0.6 + 1.2 * i / max(n - 1, 1), 0.25 + 0.12 * (i % 2), 0.0)
+        b = (-0.6 + 1.2 * (i + 0.7) / max(n - 1, 1), 0.3, 0.1)
+        link = capsule(a, b, 0.08)
+        out = link if out is None else smooth_union(out, link, k=0.08)
+    return union(ground_plane(), out)
+
+
+def random_blobs(key=None, n: int = 8, seed: int = 0) -> SDFNode:
+    """n randomly placed smooth-blended spheres: the parameterizable workload
+    for throughput scaling (SDF cost grows linearly with n)."""
+    key = jax.random.PRNGKey(seed) if key is None else key
+    kc, kr = jax.random.split(key)
+    centers = jax.random.uniform(kc, (n, 3), minval=-0.6, maxval=0.6) * jnp.array([1.0, 0.4, 1.0]) + jnp.array([0.0, 0.45, 0.0])
+    radii = jax.random.uniform(kr, (n,), minval=0.08, maxval=0.2)
+    out = None
+    for i in range(n):
+        s_i = sphere(center=tuple(centers[i].tolist()), radius=float(radii[i]))
+        out = s_i if out is None else smooth_union(out, s_i, k=0.12)
+    return union(ground_plane(), out)
