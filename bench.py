@@ -6,7 +6,21 @@ to the XLA path (any backend) so the line is always produced.
 """
 
 import json
+import subprocess
 import sys
+
+
+def tpu_alive(timeout_s: int = 120) -> bool:
+    """Probe TPU compute in a subprocess — a hung tunnel blocks XLA calls
+    uninterruptibly, so the probe must be killable from outside."""
+    code = "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones((64, 64)))))"
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s, capture_output=True, text=True
+        )
+        return proc.returncode == 0 and "4096" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def main() -> int:
@@ -16,10 +30,11 @@ def main() -> int:
     from sdf3d_tpu.bench import run_benchmark
 
     try:
-        if on_tpu:
-            result = run_benchmark(engine="pallas", mode="fwd_bwd")
-        else:
+        if not on_tpu:
             raise RuntimeError("no TPU visible")
+        if not tpu_alive():
+            raise RuntimeError("TPU visible but compute probe timed out (hung tunnel)")
+        result = run_benchmark(engine="pallas", mode="fwd_bwd")
     except Exception as e:  # Pallas/TPU unavailable: keep the metric flowing.
         print(f"pallas/tpu path unavailable ({type(e).__name__}: {e}); "
               "falling back to XLA path", file=sys.stderr)

@@ -48,11 +48,14 @@ def run_benchmark(
 
     seconds = benchmark_fn(fn, scene, warmup=2, iters=iters)
     rays_s = width * height / seconds
+    # Report the device compute actually ran on (jax_default_device may
+    # redirect away from default_backend()).
+    device = next(iter(jnp.zeros(1).devices()))
     return {
         "metric": f"rays_per_second_{height}p_{mode}_{engine}",
         "value": rays_s,
         "unit": "rays/s",
         "vs_baseline": rays_s / 1e9,
         "seconds_per_frame": seconds,
-        "backend": jax.default_backend(),
+        "backend": device.platform,
     }
