@@ -8,12 +8,8 @@ identical filter semantics for environments without a toolchain.
 from __future__ import annotations
 
 import ctypes
-import hashlib
 import math
 import pathlib
-import shutil
-import subprocess
-import tempfile
 
 import numpy as np
 
@@ -27,19 +23,9 @@ def _load():
     if _LIB is not None or _BUILD_ERROR is not None:
         return _LIB
     try:
-        tag = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
-        cache = pathlib.Path(tempfile.gettempdir()) / "sdf3d_tpu_native"
-        cache.mkdir(parents=True, exist_ok=True)
-        lib_path = cache / f"navigation_{tag}.so"
-        if not lib_path.exists():
-            gxx = shutil.which("g++")
-            if gxx is None:
-                raise RuntimeError("g++ not found")
-            subprocess.run(
-                [gxx, "-O2", "-std=c++17", "-shared", "-fPIC", str(_SRC), "-o", str(lib_path)],
-                check=True, capture_output=True,
-            )
-        lib = ctypes.CDLL(str(lib_path))
+        from sdf3d_tpu._native import load_native
+
+        lib = load_native(_SRC, "libsdf3d_navigation.so")
         f = ctypes.c_float
         fp = ctypes.POINTER(f)
         vp = ctypes.c_void_p

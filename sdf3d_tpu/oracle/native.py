@@ -14,12 +14,7 @@ environment constraints) and exposes:
 from __future__ import annotations
 
 import ctypes
-import dataclasses
-import hashlib
 import pathlib
-import shutil
-import subprocess
-import tempfile
 
 import numpy as np
 
@@ -67,31 +62,14 @@ def unpack_params(vec: np.ndarray) -> OracleParams:
     return OracleParams(**kwargs)
 
 
-def _build() -> pathlib.Path:
-    """Compile the oracle into a content-addressed cached .so."""
-    src = _SRC.read_bytes()
-    tag = hashlib.sha256(src).hexdigest()[:16]
-    cache = pathlib.Path(tempfile.gettempdir()) / "sdf3d_tpu_native"
-    cache.mkdir(parents=True, exist_ok=True)
-    lib = cache / f"oracle_{tag}.so"
-    if not lib.exists():
-        gxx = shutil.which("g++")
-        if gxx is None:
-            raise RuntimeError("g++ not found")
-        subprocess.run(
-            [gxx, "-O2", "-std=c++17", "-shared", "-fPIC", str(_SRC), "-o", str(lib)],
-            check=True,
-            capture_output=True,
-        )
-    return lib
-
-
 def _load():
     global _LIB, _BUILD_ERROR
     if _LIB is not None or _BUILD_ERROR is not None:
         return _LIB
     try:
-        lib = ctypes.CDLL(str(_build()))
+        from sdf3d_tpu._native import load_native
+
+        lib = load_native(_SRC, "libsdf3d_oracle.so")
         f32p = ctypes.POINTER(ctypes.c_float)
         lib.sdf3d_render_reference.argtypes = [f32p, f32p, ctypes.c_int, ctypes.c_int, f32p]
         lib.sdf3d_render_reference.restype = None
