@@ -14,6 +14,7 @@ from sdf3d_tpu.parallel.shard_render import (
     render_pallas_sharded,
     loss_and_grad_sharded,
 )
+from sdf3d_tpu.parallel.collectives import pallas_psum, pallas_psum_tree
 
 __all__ = [
     "make_mesh",
@@ -21,4 +22,6 @@ __all__ = [
     "render_sharded",
     "render_pallas_sharded",
     "loss_and_grad_sharded",
+    "pallas_psum",
+    "pallas_psum_tree",
 ]

@@ -21,8 +21,9 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
+
+shard_map = functools.partial(jax.shard_map, check_vma=False)
 
 from sdf3d_tpu.camera import Camera, camera_rays
 from sdf3d_tpu.config import RenderConfig
@@ -77,7 +78,6 @@ def render_sharded(
         mesh=mesh,
         in_specs=(_REPLICATED, P(tile_axis, None, None), P(tile_axis, None, None), _REPLICATED, _REPLICATED),
         out_specs=P(tile_axis, None, None),
-        check_rep=False,
     )
     def shard_fn(scene_, o, d, light_, mat_):
         return inner(scene_, o, d, light_, mat_, config)
@@ -115,7 +115,6 @@ def render_pallas_sharded(
         mesh=mesh,
         in_specs=(_REPLICATED, _REPLICATED),
         out_specs=P(tile_axis, None, None),
-        check_rep=False,
     )
     def shard_fn(params_, uniforms_):
         row0 = (jax.lax.axis_index(tile_axis) * slab).astype(jnp.float32)
@@ -131,6 +130,7 @@ def render_pallas_sharded(
 def loss_and_grad_sharded(
     loss_fn: Callable[..., jnp.ndarray],
     mesh: Mesh,
+    allreduce: str = "psum",
 ):
     """Wrap a per-slab loss into a mesh-parallel value+grad with psum'd grads.
 
@@ -153,13 +153,21 @@ def loss_and_grad_sharded(
             P(tile_axis, None, None),
         ),
         out_specs=(_REPLICATED, _REPLICATED),
-        check_rep=False,
     )
     def shard_fn(scene_, o_slab, d_slab, target_slab):
         loss, grads = jax.value_and_grad(loss_fn)(scene_, o_slab, d_slab, target_slab)
-        return (
-            jax.lax.psum(loss, tile_axis),
-            jax.lax.psum(grads, tile_axis),
-        )
+        loss = jax.lax.psum(loss, tile_axis)
+        if allreduce == "psum":
+            grads = jax.lax.psum(grads, tile_axis)
+        elif allreduce in ("pallas_ring", "pallas_ring_interpret"):
+            from sdf3d_tpu.parallel.collectives import pallas_psum_tree
+
+            grads = pallas_psum_tree(
+                grads, mesh.shape[tile_axis],
+                interpret=(allreduce == "pallas_ring_interpret"),
+            )
+        else:
+            raise ValueError(f"unknown allreduce {allreduce!r}")
+        return loss, grads
 
     return shard_fn

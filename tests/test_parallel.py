@@ -88,3 +88,49 @@ class TestGraftEntry:
 
         fn, args = ge.entry()
         assert callable(fn) and len(args) == 4
+
+
+class TestPallasCollectives:
+    """Ring all-reduce kernel (interpret mode on the CPU mesh)."""
+
+    def test_ring_allreduce_matches_sum(self, mesh8):
+        import functools
+
+        from jax.sharding import PartitionSpec as PS
+
+        from sdf3d_tpu.parallel import pallas_psum
+        from sdf3d_tpu.parallel.mesh import tile_axis
+
+        x = jnp.arange(8 * 37, dtype=jnp.float32).reshape(8, 37)
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh8, in_specs=PS(tile_axis, None),
+            out_specs=PS(tile_axis, None), check_vma=False,
+        )
+        def f(local):
+            return pallas_psum(local[0], 8, interpret=True)[None]
+
+        out = f(x)
+        np.testing.assert_allclose(
+            np.asarray(out), np.broadcast_to(np.asarray(jnp.sum(x, 0)), (8, 37)), rtol=1e-6
+        )
+
+    def test_loss_and_grad_with_ring_allreduce(self, mesh8):
+        o, d = camera_rays(CAM, CFG.width, CFG.height)
+        target = s.render(s.reference_scene(), CAM, LIGHT, MAT, CFG)
+        scene = s.sdf.union(
+            s.sdf.ground_plane(), s.sdf.sphere(center=(0.0, 0.4, 0.0), radius=0.25)
+        )
+
+        def loss_fn(scene_, o_, d_, tgt_):
+            img = render_rays_diff(scene_, o_, d_, LIGHT, MAT, CFG)
+            return jnp.sum((img - tgt_) ** 2)
+
+        l_psum, g_psum = loss_and_grad_sharded(loss_fn, mesh8)(scene, o, d, target)
+        l_ring, g_ring = loss_and_grad_sharded(loss_fn, mesh8, allreduce="pallas_ring_interpret")(
+            scene, o, d, target
+        )
+        assert float(l_ring) == pytest.approx(float(l_psum), rel=1e-6)
+        gp, _ = fu.ravel_pytree(g_psum)
+        gr, _ = fu.ravel_pytree(g_ring)
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(gp), rtol=1e-5, atol=1e-5)
