@@ -30,6 +30,34 @@ from sdf3d_tpu.sdf.node import SDFNode
 from sdf3d_tpu.utils.logging import MetricsLogger
 
 
+def _avg_pool2(img):
+    """2x2 average pool over leading (H, W) axes of an (H, W, C) image."""
+    h, w, c = img.shape
+    h2, w2 = h - h % 2, w - w % 2
+    v = img[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2, c)
+    return v.mean(axis=(1, 3))
+
+
+def pixel_loss(img, target, kind: str, levels: int = 3):
+    """Sum-of-squares pixel loss, optionally over an average-pool pyramid.
+
+    Each level's loss is scaled by 4**level so every level contributes at
+    the same per-original-pixel magnitude.
+    """
+    loss = jnp.sum((img - target) ** 2)
+    if kind == "l2":
+        return loss
+    if kind != "multiscale":
+        raise ValueError(f"unknown loss {kind!r}")
+    a, b = img, target
+    for level in range(1, levels + 1):
+        if min(a.shape[0], a.shape[1]) < 2:
+            break
+        a, b = _avg_pool2(a), _avg_pool2(b)
+        loss = loss + (4.0**level) * jnp.sum((a - b) ** 2)
+    return loss
+
+
 @dataclasses.dataclass(frozen=True)
 class FitConfig:
     steps: int = 200
@@ -38,6 +66,21 @@ class FitConfig:
     log_every: int = 10
     checkpoint_every: int = 0  # 0 disables
     checkpoint_dir: str | None = None
+    #: Render engine for the loss: "xla" (implicit-VJP ray renderer; works
+    #: sharded) or "pallas" (fused kernel + no-march backward; single-mesh
+    #: fast path — the production choice on TPU).
+    engine: str = "xla"
+    #: Pallas interpreter mode (CPU tests of the pallas engine).
+    pallas_interpret: bool = False
+    #: Pixel loss: "l2", or "multiscale" — L2 summed over an average-pool
+    #: pyramid.  Plain L2 is silhouette-blind: pixels between the target's
+    #: and the current render's silhouettes miss the object entirely and
+    #: carry zero parameter gradient, so shrink-past-the-truth overshoots
+    #: are attractors.  Pooling mixes those mismatch residuals into blocks
+    #: that do contain object pixels, restoring a restoring force.
+    loss: str = "l2"
+    #: Number of extra 2x-downsampled pyramid levels for "multiscale".
+    pyramid_levels: int = 3
 
 
 @dataclasses.dataclass
@@ -87,15 +130,29 @@ def fit_scene(
     target = jnp.asarray(target, jnp.float32)
     opt = _make_optimizer(fit_config)
 
-    def slab_loss(scene_, o_, d_, tgt_):
-        img = render_rays_diff(scene_, o_, d_, light, mat, render_config)
-        return jnp.sum((img - tgt_) ** 2)
+    if fit_config.engine == "pallas":
+        if mesh is not None:
+            raise ValueError("engine='pallas' fits are single-mesh; use engine='xla' with a mesh")
+        from sdf3d_tpu.ops import PallasRenderConfig, render_pallas
 
-    if mesh is not None:
-        value_and_grad = loss_and_grad_sharded(slab_loss, mesh)
-    else:
+        pc = PallasRenderConfig(interpret=fit_config.pallas_interpret)
+
         def value_and_grad(scene_, o_, d_, tgt_):
-            return jax.value_and_grad(slab_loss)(scene_, o_, d_, tgt_)
+            def loss(sc):
+                img = render_pallas(render_config, pc, sc, camera, light, mat)
+                return pixel_loss(img, tgt_, fit_config.loss, fit_config.pyramid_levels)
+
+            return jax.value_and_grad(loss)(scene_)
+    else:
+        def slab_loss(scene_, o_, d_, tgt_):
+            img = render_rays_diff(scene_, o_, d_, light, mat, render_config)
+            return pixel_loss(img, tgt_, fit_config.loss, fit_config.pyramid_levels)
+
+        if mesh is not None:
+            value_and_grad = loss_and_grad_sharded(slab_loss, mesh)
+        else:
+            def value_and_grad(scene_, o_, d_, tgt_):
+                return jax.value_and_grad(slab_loss)(scene_, o_, d_, tgt_)
 
     if trainable is not None:
         mask = jax.tree_util.tree_map(lambda m: jnp.float32(1.0 if m else 0.0), trainable)

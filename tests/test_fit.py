@@ -180,3 +180,38 @@ class TestCLI:
 
         assert main(["info"]) == 0
         assert "sdf3d-tpu" in capsys.readouterr().out
+
+
+class TestFitEngines:
+    def test_pallas_engine_multiscale_converges(self):
+        target, scene0 = _target_and_init()
+        trainable = jax.tree_util.tree_map(lambda _: True, scene0)
+        trainable = trainable.replace(a=jax.tree_util.tree_map(lambda _: False, scene0.a))
+        from sdf3d_tpu.fit import FitConfig
+
+        result = fit_scene(
+            target, scene0, CAM, LIGHT, MAT, CFG,
+            FitConfig(steps=120, learning_rate=1e-2, engine="pallas",
+                      pallas_interpret=True, loss="multiscale"),
+            trainable=trainable,
+        )
+        assert result.losses[-1] < result.losses[0] * 0.25
+        assert float(result.scene.b.radius) == pytest.approx(0.2, abs=0.03)
+
+    def test_pallas_engine_rejects_mesh(self):
+        from sdf3d_tpu.fit import FitConfig
+
+        target, scene0 = _target_and_init()
+        mesh = make_mesh(jax.devices("cpu"), n_devices=4)
+        with pytest.raises(ValueError, match="single-mesh"):
+            fit_scene(target, scene0, CAM, LIGHT, MAT, CFG,
+                      FitConfig(engine="pallas"), mesh=mesh)
+
+    def test_multiscale_loss_larger_than_l2(self):
+        from sdf3d_tpu.fit import pixel_loss
+
+        a = jnp.zeros((16, 16, 3))
+        b = jnp.ones((16, 16, 3)) * 0.5
+        l2 = float(pixel_loss(a, b, "l2"))
+        ms = float(pixel_loss(a, b, "multiscale"))
+        assert ms > l2  # pyramid adds nonnegative terms
