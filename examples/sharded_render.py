@@ -1,0 +1,36 @@
+"""Row-slab sharded render on an 8-virtual-device CPU mesh."""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import dataclasses  # noqa: E402
+
+import numpy as np  # noqa: E402
+
+from _common import use_live_device  # noqa: E402
+
+use_live_device()
+
+import jax  # noqa: E402
+
+import sdf3d_tpu as s  # noqa: E402
+from sdf3d_tpu.parallel import make_mesh, render_sharded  # noqa: E402
+
+
+def main():
+    devices = jax.devices("cpu")
+    mesh = make_mesh(devices, n_devices=min(8, len(devices)))
+    cfg = dataclasses.replace(s.REFERENCE_CONFIG, width=256, height=192)
+    cam, light, mat = s.Camera.reference(), s.reference_light(), s.reference_material()
+    scene = s.flagship_scene()
+
+    single = np.asarray(s.render(scene, cam, light, mat, cfg))
+    sharded = np.asarray(render_sharded(scene, cam, light, mat, cfg, mesh))
+    print(f"mesh: {mesh.shape}")
+    print(f"sharded == single-device: {np.array_equal(single, sharded)}")
+    print(f"output shape: {sharded.shape}")
+
+
+if __name__ == "__main__":
+    main()

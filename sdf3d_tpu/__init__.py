@@ -37,7 +37,9 @@ from sdf3d_tpu.march import (
     sphere_trace,
 )
 from sdf3d_tpu.diff import (
+    coverage,
     depth_implicit,
+    ray_min_sdf_diff,
     render_diff,
     render_rays_diff,
     sphere_trace_implicit,
@@ -65,7 +67,8 @@ __all__ = [
     "reference_light", "reference_material",
     "ambient_occlusion", "estimate_normals", "hit_mask", "normal_autodiff",
     "normal_central", "normal_tetrahedron", "soft_shadow", "sphere_trace",
-    "depth_implicit", "render_diff", "render_rays_diff", "sphere_trace_implicit",
+    "coverage", "depth_implicit", "ray_min_sdf_diff",
+    "render_diff", "render_rays_diff", "sphere_trace_implicit",
     "render", "render_depth", "render_rays", "shade_pixels",
     "capsule_chain", "csg_showcase", "flagship_scene", "lattice_scene",
     "random_blobs", "reference_scene", "sphere_scene",

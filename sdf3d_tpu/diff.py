@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from sdf3d_tpu.camera import Camera, camera_rays
 from sdf3d_tpu.config import MarchConfig, RenderConfig
 from sdf3d_tpu.lighting import Material, PointLight
-from sdf3d_tpu.march import sphere_trace
+from sdf3d_tpu.march import ray_min_sdf, sphere_trace
 from sdf3d_tpu.render import shade_pixels
 from sdf3d_tpu.sdf.node import SDFNode, vdot
 
@@ -78,6 +78,66 @@ def _bwd(cfg, residuals, g):
 
 
 sphere_trace_implicit.defvjp(_fwd, _bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def ray_min_sdf_diff(
+    cfg: MarchConfig, scene: SDFNode, origins: jnp.ndarray, directions: jnp.ndarray
+) -> jnp.ndarray:
+    """Differentiable closest approach of each ray to the scene, shape (...,).
+
+    The silhouette gradient channel: interior-point gradients through the hit
+    distance cannot see silhouette motion (module docstring), but the ray's
+    minimum SDF can — ``∂min_s/∂θ = ∂f/∂θ`` evaluated at the closest-approach
+    point (Danskin/envelope theorem for the min over the trajectory, treating
+    the trajectory itself as data).  One extra SDF eval in the VJP.
+    ``sigmoid(−min_s/β)`` is a smooth coverage for silhouette-aware losses
+    (fit.py).
+    """
+    min_s, _ = ray_min_sdf(scene.distance, origins, directions, cfg)
+    return min_s
+
+
+def _minsdf_fwd(cfg, scene, origins, directions):
+    min_s, t_min = ray_min_sdf(scene.distance, origins, directions, cfg)
+    return min_s, (scene, origins, directions, t_min)
+
+
+def _minsdf_bwd(cfg, residuals, g):
+    scene, origins, directions, t_min = residuals
+    p = origins + t_min[..., None] * directions
+    _, pullback = jax.vjp(lambda sc, q: sc.distance(q), scene, p)
+    scene_bar, p_bar = pullback(g)
+    # p = o + t_min·d with t_min treated as data (envelope theorem).
+    return scene_bar, p_bar, t_min[..., None] * p_bar
+
+
+ray_min_sdf_diff.defvjp(_minsdf_fwd, _minsdf_bwd)
+
+
+def coverage(
+    cfg: MarchConfig,
+    scene: SDFNode,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    beta: float | None = None,
+) -> jnp.ndarray:
+    """Soft hit-coverage per ray in (0, 1): ``sigmoid((2ε − min_s)/β)``.
+
+    ≈1 where the ray hits, →0 away from surfaces, smooth across silhouettes
+    and differentiable w.r.t. scene/ray parameters — the term that restores
+    the silhouette force in inverse rendering.
+
+    Calibration matters: the march stops as soon as ``f < ε``, so a hit ray's
+    ``min_s`` lands in ``(0, ε)`` — an *unshifted* ``σ(−min_s/β)`` would read
+    ~0.4 for hits, leaving a constant deficit against a binary object mask
+    that pushes geometry toward the camera.  Shifting by ``2ε`` puts hits at
+    ``σ(≥ε/β)``; the default ``β = ε/2.5`` makes that ≥0.92 while staying
+    smooth over ~β world units at silhouettes.
+    """
+    beta = cfg.epsilon / 2.5 if beta is None else beta
+    min_s = ray_min_sdf_diff(cfg, scene, origins, directions)
+    return jax.nn.sigmoid((2.0 * cfg.epsilon - min_s) / beta)
 
 
 def render_rays_diff(

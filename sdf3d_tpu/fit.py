@@ -22,7 +22,7 @@ import optax
 from sdf3d_tpu.camera import Camera, camera_rays
 from sdf3d_tpu.checkpoint import load_checkpoint, save_checkpoint
 from sdf3d_tpu.config import RenderConfig
-from sdf3d_tpu.diff import render_rays_diff
+from sdf3d_tpu.diff import coverage, render_rays_diff
 from sdf3d_tpu.lighting import Material, PointLight
 from sdf3d_tpu.parallel.mesh import tile_axis
 from sdf3d_tpu.parallel.shard_render import loss_and_grad_sharded
@@ -81,6 +81,17 @@ class FitConfig:
     loss: str = "l2"
     #: Number of extra 2x-downsampled pyramid levels for "multiscale".
     pyramid_levels: int = 3
+    #: Weight of the soft-silhouette (coverage) loss term; 0 disables.
+    #: Interior-point gradients are blind to silhouette motion (diff.py), so
+    #: image-only fits can walk the wrong way when silhouettes mismatch; the
+    #: coverage term compares sigmoid(-min_sdf/beta) against the target's
+    #: object mask and restores that force.  Requires a target whose object
+    #: mask is known: pass ``target_coverage`` to fit_scene, or use a
+    #: render_config with ``background`` set (mask inferred from non-
+    #: background pixels).
+    silhouette_weight: float = 0.0
+    #: Softness (world units) of the coverage sigmoid; None = march_eps/2.5.
+    silhouette_beta: float | None = None
 
 
 @dataclasses.dataclass
@@ -110,6 +121,7 @@ def fit_scene(
     mesh=None,
     logger: MetricsLogger | None = None,
     trainable=None,
+    target_coverage=None,
 ) -> FitResult:
     """Fit ``scene0``'s parameters so the render matches ``target`` (H, W, 3).
 
@@ -125,10 +137,43 @@ def fit_scene(
     parameters with hard constraints the raw parameterization doesn't encode
     (e.g. a plane's unit normal): optimizing them unconstrained de-metrizes
     the SDF and destabilizes the march.
+
+    ``target_coverage``: (H, W) object mask of the target in [0, 1] for the
+    silhouette loss term; inferred from non-background pixels when
+    ``render_config.background`` is set.
     """
     origins, directions = camera_rays(camera, render_config.width, render_config.height, render_config.ray_mode)
     target = jnp.asarray(target, jnp.float32)
     opt = _make_optimizer(fit_config)
+
+    sil_w = fit_config.silhouette_weight
+    if sil_w > 0.0:
+        if target_coverage is None:
+            if render_config.background is None:
+                raise ValueError(
+                    "silhouette_weight > 0 needs an object mask: pass "
+                    "target_coverage, or set render_config.background so the "
+                    "mask can be inferred from non-background pixels"
+                )
+            bg = jnp.asarray(render_config.background, jnp.float32)
+            target_coverage = (
+                jnp.max(jnp.abs(target - bg), axis=-1) > 1e-3
+            ).astype(jnp.float32)
+        target_coverage = jnp.asarray(target_coverage, jnp.float32)
+        # Ride along as a 4th target channel so the sharded path slices it
+        # with the same row sharding as the image.
+        target = jnp.concatenate([target, target_coverage[..., None]], axis=-1)
+
+    def _split_target(tgt_):
+        if sil_w > 0.0:
+            return tgt_[..., :3], tgt_[..., 3]
+        return tgt_, None
+
+    def _sil_term(scene_, o_, d_, cov_t):
+        if sil_w <= 0.0:
+            return 0.0
+        cov = coverage(render_config.march, scene_, o_, d_, fit_config.silhouette_beta)
+        return sil_w * jnp.sum((cov - cov_t) ** 2)
 
     if fit_config.engine == "pallas":
         if mesh is not None:
@@ -140,13 +185,15 @@ def fit_scene(
         def value_and_grad(scene_, o_, d_, tgt_):
             def loss(sc):
                 img = render_pallas(render_config, pc, sc, camera, light, mat)
-                return pixel_loss(img, tgt_, fit_config.loss, fit_config.pyramid_levels)
+                rgb_t, cov_t = _split_target(tgt_)
+                return pixel_loss(img, rgb_t, fit_config.loss, fit_config.pyramid_levels) + _sil_term(sc, o_, d_, cov_t)
 
             return jax.value_and_grad(loss)(scene_)
     else:
         def slab_loss(scene_, o_, d_, tgt_):
             img = render_rays_diff(scene_, o_, d_, light, mat, render_config)
-            return pixel_loss(img, tgt_, fit_config.loss, fit_config.pyramid_levels)
+            rgb_t, cov_t = _split_target(tgt_)
+            return pixel_loss(img, rgb_t, fit_config.loss, fit_config.pyramid_levels) + _sil_term(scene_, o_, d_, cov_t)
 
         if mesh is not None:
             value_and_grad = loss_and_grad_sharded(slab_loss, mesh)
@@ -173,12 +220,33 @@ def fit_scene(
     start_step = 0
     losses: list = []
 
+    # Fingerprint ties a checkpoint to the fit setup: resuming under a
+    # different loss/engine/renderer silently continues a stale (possibly
+    # diverged) trajectory otherwise.  Fields that are legitimate to change
+    # across resumes (total steps, logging/checkpoint cadence, paths) are
+    # excluded.
+    fingerprint = repr((
+        fit_config.learning_rate, fit_config.optimizer, fit_config.engine,
+        fit_config.loss, fit_config.pyramid_levels,
+        fit_config.silhouette_weight, fit_config.silhouette_beta,
+        render_config, jax.tree_util.tree_structure(scene0),
+    ))
     if fit_config.checkpoint_dir:
         restored, manifest = load_checkpoint(fit_config.checkpoint_dir, (scene, opt_state))
         if restored is not None:
-            scene, opt_state = restored
-            start_step = manifest["step"]
-            losses = list(manifest.get("losses", []))
+            if manifest.get("fingerprint") == fingerprint:
+                scene, opt_state = restored
+                start_step = manifest["step"]
+                losses = list(manifest.get("losses", []))
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"checkpoint at {fit_config.checkpoint_dir} was written by a "
+                    "different fit configuration; starting fresh (it will be "
+                    "overwritten)",
+                    stacklevel=2,
+                )
 
     n_pixels = render_config.width * render_config.height
     t0 = time.perf_counter()
@@ -198,7 +266,7 @@ def fit_scene(
         ):
             save_checkpoint(
                 fit_config.checkpoint_dir, (scene, opt_state), step + 1,
-                meta={"losses": [float(x) for x in losses]},
+                meta={"losses": [float(x) for x in losses], "fingerprint": fingerprint},
             )
 
     jax.block_until_ready(jax.tree_util.tree_leaves(scene)[0])

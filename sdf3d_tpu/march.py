@@ -89,6 +89,42 @@ def hit_mask(distance: jnp.ndarray, cfg: MarchConfig) -> jnp.ndarray:
     return distance <= cfg.max_distance
 
 
+def ray_min_sdf(sdf_fn: SDFFn, origins: jnp.ndarray, directions: jnp.ndarray, cfg: MarchConfig):
+    """Minimum SDF along each ray's march trajectory and its distance.
+
+    Returns ``(min_s, t_at_min)``, both shape ``(...,)``: the closest
+    approach of the march to any surface and the marched distance where it
+    occurred.  Hit rays give min_s ≈ ε (or below); miss rays give a positive
+    closest approach.  This is the *silhouette quantity*:
+    ``sigmoid(−min_s/β)`` is a smooth coverage that moves with silhouettes.
+    Not differentiable itself (early-exit loop) — use
+    :func:`sdf3d_tpu.diff.ray_min_sdf_diff` for gradients (custom VJP: the
+    min's derivative is ∂f/∂θ at the argmin point, one extra eval).
+    """
+    batch = jnp.broadcast_shapes(origins.shape[:-1], directions.shape[:-1])
+    dtype = origins.dtype
+
+    def body(i, carry):
+        dist, min_s, t_min, active = carry
+        p = origins + dist[..., None] * directions
+        s = sdf_fn(p)
+        better = active & (s < min_s)
+        min_s = jnp.where(better, s, min_s)
+        t_min = jnp.where(better, dist, t_min)
+        dist_new = jnp.where(active, dist + s, dist)
+        done = (dist_new > cfg.max_distance) | (s < cfg.epsilon)
+        return dist_new, min_s, t_min, active & ~done
+
+    carry0 = (
+        jnp.zeros(batch, dtype),
+        jnp.full(batch, jnp.inf, dtype),
+        jnp.zeros(batch, dtype),
+        jnp.ones(batch, jnp.bool_),
+    )
+    _, min_s, t_min, _ = _run_masked_loop(cfg.max_steps, cfg.early_exit, body, carry0)
+    return min_s, t_min
+
+
 def soft_shadow(
     sdf_fn: SDFFn,
     origins: jnp.ndarray,

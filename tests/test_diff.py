@@ -170,3 +170,72 @@ class TestRenderDiff:
         a = np.asarray(s.render_diff(_scene(), CAM, *lm, CFG))
         b = np.asarray(s.render_diff(_scene(), CAM, *lm, cfg_ad))
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+class TestCoverage:
+    """Soft-silhouette channel: ray_min_sdf_diff / coverage (diff.py)."""
+
+    def test_coverage_near_one_on_hits_near_zero_on_misses(self):
+        from sdf3d_tpu.camera import camera_rays
+        from sdf3d_tpu.diff import coverage
+
+        o, d = camera_rays(CAM, CFG.width, CFG.height)
+        cov = np.asarray(coverage(CFG.march, _scene(), o, d))
+        assert cov[16, 24] > 0.9   # sphere interior
+        assert cov[30, 24] > 0.9   # ground plane
+        assert cov[2, 24] < 0.1    # sky
+
+    def test_min_sdf_gradient_sees_silhouettes(self):
+        """The point of the channel: radius gradient is nonzero for rays that
+        MISS the sphere but pass near it — where dt-gradients are zero."""
+        from sdf3d_tpu.diff import ray_min_sdf_diff
+
+        o = jnp.array([0.25, 0.4, 2.0])   # passes ~0.05 outside r=0.2 sphere
+        d = jnp.array([0.0, 0.0, -1.0])
+
+        def min_s(r):
+            sc = s.sdf.sphere(center=(0.0, 0.4, 0.0), radius=r)
+            return ray_min_sdf_diff(CFG.march, sc, o, d)
+
+        g = jax.grad(min_s)(jnp.float32(0.2))
+        assert g == pytest.approx(-1.0, abs=0.05)  # d(closest approach)/dr = -1
+
+    def test_coverage_loss_gradient_sign_matches_fd(self):
+        """Oversized sphere: the coverage loss must push the radius DOWN
+        (the force plain pixel losses are blind to)."""
+        from sdf3d_tpu.camera import camera_rays
+        from sdf3d_tpu.diff import coverage
+
+        o, d = camera_rays(CAM, CFG.width, CFG.height)
+        cov_t = coverage(CFG.march, _scene(radius=0.2), o, d)
+
+        def loss(r):
+            return jnp.sum((coverage(CFG.march, _scene(radius=r), o, d) - cov_t) ** 2)
+
+        g = jax.grad(loss)(jnp.float32(0.27))
+        e = 2e-3
+        fd = (loss(jnp.float32(0.27 + e)) - loss(jnp.float32(0.27 - e))) / (2 * e)
+        assert g > 0 and fd > 0  # same (correct) direction
+
+    def test_silhouette_fit_recovers_from_bad_init(self):
+        """The previously diverging case: image-only loss walks away; with
+        the coverage term the radius comes back to truth."""
+        import dataclasses as dc
+
+        from sdf3d_tpu.fit import FitConfig, fit_scene
+
+        cfg = dc.replace(CFG, width=64, height=48, background=(0.0, 0.0, 0.0))
+        light, mat = s.reference_light(), s.reference_material()
+        target = s.render(_scene(radius=0.2), CAM, light, mat, cfg)
+        scene0 = s.sdf.union(
+            s.sdf.ground_plane(), s.sdf.sphere(center=(0.08, 0.45, 0.0), radius=0.27)
+        )
+        trainable = jax.tree_util.tree_map(lambda _: True, scene0)
+        trainable = trainable.replace(a=jax.tree_util.tree_map(lambda _: False, scene0.a))
+        result = fit_scene(
+            target, scene0, CAM, light, mat, cfg,
+            FitConfig(steps=150, learning_rate=1e-2, loss="multiscale",
+                      silhouette_weight=1.0),
+            trainable=trainable,
+        )
+        assert float(result.scene.b.radius) == pytest.approx(0.2, abs=0.04)
