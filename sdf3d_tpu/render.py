@@ -125,6 +125,40 @@ def render(
     return render_rays(scene, origins, directions, light, mat, config)
 
 
+def render_aa(
+    scene: SDFNode,
+    camera: Camera,
+    light: PointLight,
+    mat: Material,
+    config: RenderConfig,
+    factor: int = 2,
+    engine: str = "xla",
+) -> jnp.ndarray:
+    """Supersampled render: ``factor²`` rays per pixel, box-filtered.
+
+    No reference counterpart (one ray per fragment there); pure capability
+    add.  Renders at ``factor×`` resolution — every engine and quirk applies
+    unchanged — then average-pools, staying differentiable end-to-end.
+    """
+    import dataclasses
+
+    big = dataclasses.replace(
+        config, width=config.width * factor, height=config.height * factor
+    )
+    if engine == "pallas":
+        from sdf3d_tpu.ops import PallasRenderConfig, render_pallas
+
+        img = render_pallas(big, PallasRenderConfig(), scene, camera, light, mat)
+    elif engine == "diff":
+        from sdf3d_tpu.diff import render_diff
+
+        img = render_diff(scene, camera, light, mat, big)
+    else:
+        img = render(scene, camera, light, mat, big)
+    h, w = config.height, config.width
+    return img.reshape(h, factor, w, factor, 3).mean(axis=(1, 3))
+
+
 def render_depth(
     scene: SDFNode,
     camera: Camera,

@@ -117,3 +117,43 @@ def test_render_differentiable_everything():
     # At least some gradient signal reaches the material.
     mat_leaves = jax.tree_util.tree_leaves(grads[3])
     assert any(float(jnp.abs(g).sum()) > 0 for g in mat_leaves)
+
+
+class TestSupersampling:
+    def test_aa_shape_and_smoothing(self):
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        import sdf3d_tpu as s
+
+        cfg = dataclasses.replace(s.REFERENCE_CONFIG, width=48, height=32)
+        args = (s.reference_scene(), s.Camera.reference(), s.reference_light(), s.reference_material())
+        plain = s.render(*args, cfg)
+        aa = s.render_aa(*args, cfg, factor=2)
+        assert aa.shape == plain.shape
+        # Definition: box filter of the 2x render.
+        big = s.render(*args, dataclasses.replace(cfg, width=96, height=64))
+        pooled = big.reshape(32, 2, 48, 2, 3).mean(axis=(1, 3))
+        assert float(jnp.abs(aa - pooled).max()) < 1e-6
+        # And it actually differs from the 1-spp render at silhouettes.
+        assert float(jnp.abs(aa - plain).max()) > 1e-3
+
+    def test_aa_differentiable(self):
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        import sdf3d_tpu as s
+
+        cfg = dataclasses.replace(s.REFERENCE_CONFIG, width=24, height=16)
+
+        def loss(r):
+            sc = s.sdf.union(s.sdf.ground_plane(), s.sdf.sphere(center=(0.0, 0.4, 0.0), radius=r))
+            img = s.render_aa(sc, s.Camera.reference(), s.reference_light(),
+                              s.reference_material(), cfg, factor=2, engine="diff")
+            return jnp.mean(img)
+
+        g = jax.grad(loss)(jnp.float32(0.2))
+        assert bool(jnp.isfinite(g)) and g != 0.0
