@@ -12,10 +12,10 @@ slot ``Code/kernel/thekernel_1.cl`` the reference left empty).  Design notes:
 - **SoA planes**: every per-ray quantity is a ``(TH, TW)`` float32 plane
   (see ops/scene_program.py for why no ``(...,3)`` axis ever appears).
 - **Early exit**: the march is a ``while_loop`` over steps whose condition
-  ANDs ``step < max_steps`` with ``any(active)`` — per-ray breaks become a
-  lane mask (no data-dependent control flow per lane on TPU), and whole-tile
-  convergence stops the loop, which is effective because adjacent rays are
-  coherent.
+  ANDs ``step < max_steps`` with ``max(active) > 0.5`` — per-ray breaks
+  become an f32 0/1 lane mask (Mosaic cannot carry ``vector<i1>`` through
+  ``scf.while``), and whole-tile convergence stops the loop, which is
+  effective because adjacent rays are coherent.
 - **Parameters**: scene params and camera/light/material uniforms are flat
   float32 vectors in SMEM, read as true scalars — the analogue of the
   reference's GLSL uniforms (``voxel_fragment.frag:5-7``) and of its CL/GL
@@ -137,23 +137,30 @@ def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, cfg: R
     ox, oy, oz = uni[_U_CAM], uni[_U_CAM + 1], uni[_U_CAM + 2]
 
     # ---- primary march (voxel_fragment.frag:86-103 semantics) ----
+    # Lane masks are carried as f32 0/1 planes: Mosaic cannot legalize
+    # vector<i1> carries through scf.while (loop yields fail to lower), and
+    # the loop condition reduces the mask with max() so only a *scalar*
+    # boolean ever crosses an iteration boundary.
     mc = cfg.march
 
     def march_cond(state):
         step, _, active = state
-        return jnp.logical_and(step < mc.max_steps, jnp.any(active))
+        return jnp.logical_and(step < mc.max_steps, jnp.max(active) > 0.5)
 
     def march_body(state):
         step, dist, active = state
         s = sdf(ox + dist * dx, oy + dist * dy, oz + dist * dz)
-        dist_new = jnp.where(active, dist + s, dist)
-        done = (dist_new > mc.max_distance) | (s < mc.epsilon)
-        return step + 1, dist_new, active & ~done
+        # Body-local booleans are fine (only *carried* i1 vectors are not);
+        # where() rather than active*s keeps frozen lanes NaN/inf-safe.
+        is_active = active > 0.5
+        dist_new = jnp.where(is_active, dist + s, dist)
+        keep = jnp.where((dist_new > mc.max_distance) | (s < mc.epsilon), 0.0, active)
+        return step + 1, dist_new, keep
 
     _, t, _ = jax.lax.while_loop(
         march_cond,
         march_body,
-        (jnp.int32(0), jnp.zeros((TH, TW), f32), jnp.ones((TH, TW), jnp.bool_)),
+        (jnp.int32(0), jnp.zeros((TH, TW), f32), jnp.ones((TH, TW), f32)),
     )
 
     hx, hy, hz = ox + t * dx, oy + t * dy, oz + t * dz
@@ -191,7 +198,7 @@ def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, cfg: R
 
         def sh_cond(state):
             step, _, _, _, active = state
-            return jnp.logical_and(step < cfg.shadow.max_steps, jnp.any(active))
+            return jnp.logical_and(step < cfg.shadow.max_steps, jnp.max(active) > 0.5)
 
         def sh_body(state):
             step, dist, prev, sh, active = state
@@ -201,10 +208,12 @@ def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, cfg: R
             denom = dist - inter
             valid = (denom > 0.0) & (d2 >= 0.0)
             atten = jnp.where(valid, k * jnp.sqrt(jnp.maximum(d2, 0.0)) / jnp.where(valid, denom, 1.0), 1e30)
-            sh_new = jnp.where(active, jnp.minimum(sh, atten), sh)
-            dist_new = jnp.where(active, dist + s, dist)
-            done = (dist_new > mc.max_distance) | (sh_new < mc.epsilon)
-            return step + 1, dist_new, jnp.where(active, s, prev), sh_new, active & ~done
+            is_active = active > 0.5
+            sh_new = jnp.where(is_active, jnp.minimum(sh, atten), sh)
+            dist_new = jnp.where(is_active, dist + s, dist)
+            prev_new = jnp.where(is_active, s, prev)
+            keep = jnp.where((dist_new > mc.max_distance) | (sh_new < mc.epsilon), 0.0, active)
+            return step + 1, dist_new, prev_new, sh_new, keep
 
         _, _, _, shadow, _ = jax.lax.while_loop(
             sh_cond,
@@ -214,7 +223,7 @@ def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, cfg: R
                 jnp.zeros((TH, TW), f32),
                 jnp.full((TH, TW), jnp.inf, f32),
                 jnp.ones((TH, TW), f32),
-                jnp.ones((TH, TW), jnp.bool_),
+                jnp.ones((TH, TW), f32),
             ),
         )
         shadow = jnp.clip(shadow, 0.0, 1.0)
