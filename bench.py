@@ -10,17 +10,22 @@ import subprocess
 import sys
 
 
-def tpu_alive(timeout_s: int = 120) -> bool:
+def tpu_alive(timeout_s: int = 120, attempts: int = 2) -> bool:
     """Probe TPU compute in a subprocess — a hung tunnel blocks XLA calls
-    uninterruptibly, so the probe must be killable from outside."""
+    uninterruptibly, so the probe must be killable from outside.  Retried:
+    a single transient tunnel stall must not demote the whole benchmark run
+    to the CPU fallback path."""
     code = "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones((64, 64)))))"
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", code], timeout=timeout_s, capture_output=True, text=True
-        )
-        return proc.returncode == 0 and "4096" in proc.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    for _ in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code], timeout=timeout_s, capture_output=True, text=True
+            )
+            if proc.returncode == 0 and "4096" in proc.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 def main() -> int:

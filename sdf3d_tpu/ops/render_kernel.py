@@ -61,11 +61,26 @@ class PallasRenderConfig:
     """Static kernel parameters (hashable → jit static arg).
 
     ``tile_h × tile_w`` rays per grid program; float32 min tile is (8, 128).
+    The default (16, 512) is the measured v5e optimum (543 Mrays/s fwd at
+    1080p vs 344 at the (8, 256) minimum): the march is a serial per-ray
+    dependency chain, so wide tiles (8 vregs/step) keep the VPU busy across
+    the step-to-step latency, while over-wide tiles (≥32 vregs) pay more
+    whole-tile convergence divergence than they recover in ILP
+    (benchmarks/autotune.py re-tunes for other chips/scenes).
+
+    ``check_every``: march-loop convergence (the ``max(active)`` cross-lane
+    reduction + scalar loop test) is only evaluated every N steps; the N
+    inner steps are unrolled straight-line vector code.  Per-ray semantics
+    are unchanged — lanes self-freeze via their mask, and a scalar
+    ``step_idx < max_steps`` guard keeps the final partial chunk exact — so
+    any value yields reference-parity images.
+
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests).
     """
 
-    tile_h: int = 8
-    tile_w: int = 256
+    tile_h: int = 16
+    tile_w: int = 512
+    check_every: int = 5
     interpret: bool = False
 
 
@@ -94,7 +109,7 @@ def _rsqrt(x):
     return jax.lax.rsqrt(x)
 
 
-def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, cfg: RenderConfig, pc: PallasRenderConfig):
+def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, n_params, cfg: RenderConfig, pc: PallasRenderConfig):
     """Kernel body. ``soa(px,py,pz,getp)`` is the compiled scene program."""
     TH, TW = pc.tile_h, pc.tile_w
     # NDC spans the logical image; under sharding a slab emits cfg.height rows
@@ -103,8 +118,14 @@ def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, cfg: R
     W = cfg.ndc_width or cfg.width
     f32 = jnp.float32
 
+    # Hoist every SMEM parameter read to the kernel preamble: the scene
+    # program evaluates ``getp`` inside the march loops (100s of times), and
+    # loop-invariant SMEM loads are cheaper guaranteed-hoisted here than
+    # left to the compiler.
+    prm_vals = [prm[k] for k in range(n_params)]
+
     def getp(k):
-        return prm[k]
+        return prm_vals[k]
 
     def sdf(px, py, pz):
         return soa(px, py, pz, getp)
@@ -142,20 +163,28 @@ def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, cfg: R
     # the loop condition reduces the mask with max() so only a *scalar*
     # boolean ever crosses an iteration boundary.
     mc = cfg.march
+    chk = max(1, pc.check_every)
 
     def march_cond(state):
         step, _, active = state
         return jnp.logical_and(step < mc.max_steps, jnp.max(active) > 0.5)
 
     def march_body(state):
+        # ``chk`` unrolled steps per convergence check: the cross-lane
+        # max(active) reduction and scalar loop test are amortized over a
+        # straight-line vector block. Lanes self-freeze via their mask, and
+        # the scalar ``step + i < max_steps`` guard keeps the final partial
+        # chunk exactly at reference step counts.
         step, dist, active = state
-        s = sdf(ox + dist * dx, oy + dist * dy, oz + dist * dz)
-        # Body-local booleans are fine (only *carried* i1 vectors are not);
-        # where() rather than active*s keeps frozen lanes NaN/inf-safe.
-        is_active = active > 0.5
-        dist_new = jnp.where(is_active, dist + s, dist)
-        keep = jnp.where((dist_new > mc.max_distance) | (s < mc.epsilon), 0.0, active)
-        return step + 1, dist_new, keep
+        for i in range(chk):
+            s = sdf(ox + dist * dx, oy + dist * dy, oz + dist * dz)
+            # Body-local booleans are fine (only *carried* i1 vectors are
+            # not); where() rather than active*s keeps frozen lanes
+            # NaN/inf-safe.
+            take = (active > 0.5) & (step + i < mc.max_steps)
+            dist = jnp.where(take, dist + s, dist)
+            active = jnp.where(take & ((dist > mc.max_distance) | (s < mc.epsilon)), 0.0, active)
+        return step + chk, dist, active
 
     _, t, _ = jax.lax.while_loop(
         march_cond,
@@ -202,18 +231,19 @@ def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, cfg: R
 
         def sh_body(state):
             step, dist, prev, sh, active = state
-            s = sdf(sox + dist * ix, soy + dist * iy, soz + dist * iz)
-            inter = jnp.where(step == 0, 0.0, s * s / (2.0 * jnp.where(prev == 0.0, 1e-30, prev)))
-            d2 = s * s - inter * inter
-            denom = dist - inter
-            valid = (denom > 0.0) & (d2 >= 0.0)
-            atten = jnp.where(valid, k * jnp.sqrt(jnp.maximum(d2, 0.0)) / jnp.where(valid, denom, 1.0), 1e30)
-            is_active = active > 0.5
-            sh_new = jnp.where(is_active, jnp.minimum(sh, atten), sh)
-            dist_new = jnp.where(is_active, dist + s, dist)
-            prev_new = jnp.where(is_active, s, prev)
-            keep = jnp.where((dist_new > mc.max_distance) | (sh_new < mc.epsilon), 0.0, active)
-            return step + 1, dist_new, prev_new, sh_new, keep
+            for i in range(chk):
+                s = sdf(sox + dist * ix, soy + dist * iy, soz + dist * iz)
+                inter = jnp.where(step + i == 0, 0.0, s * s / (2.0 * jnp.where(prev == 0.0, 1e-30, prev)))
+                d2 = s * s - inter * inter
+                denom = dist - inter
+                valid = (denom > 0.0) & (d2 >= 0.0)
+                atten = jnp.where(valid, k * jnp.sqrt(jnp.maximum(d2, 0.0)) / jnp.where(valid, denom, 1.0), 1e30)
+                take = (active > 0.5) & (step + i < cfg.shadow.max_steps)
+                sh = jnp.where(take, jnp.minimum(sh, atten), sh)
+                dist = jnp.where(take, dist + s, dist)
+                prev = jnp.where(take, s, prev)
+                active = jnp.where(take & ((dist > mc.max_distance) | (sh < mc.epsilon)), 0.0, active)
+            return step + chk, dist, prev, sh, active
 
         _, _, _, shadow, _ = jax.lax.while_loop(
             sh_cond,
@@ -303,7 +333,9 @@ def _render_kernel_call(scene_treedef, leaf_shapes, params, uniforms, cfg: Rende
     Hp, Wp = _round_up(H, TH), _round_up(W, TW)
     grid = (Hp // TH, Wp // TW)
 
-    kernel = functools.partial(_render_tile_kernel, soa=soa, cfg=cfg, pc=pc)
+    kernel = functools.partial(
+        _render_tile_kernel, soa=soa, n_params=int(params.shape[0]), cfg=cfg, pc=pc
+    )
     # Worst-case per-ray SDF evals: march + 4-6 normal taps + shadow + AO.
     n_taps = cfg.march.max_steps + 6 + (cfg.shadow.max_steps if cfg.shadow.enabled else 0) + (
         cfg.ao.samples if cfg.ao.enabled else 0
@@ -335,11 +367,30 @@ def _render_kernel_call(scene_treedef, leaf_shapes, params, uniforms, cfg: Rende
             jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
         ],
         cost_estimate=cost,
+        # Tiles are independent: "parallel" lets Mosaic split the grid
+        # across both TensorCores on megacore parts (v4/v5p); no-op on
+        # single-core chips (v5e).
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
         interpret=pc.interpret,
     )(uniforms, params)
 
     rgb = jnp.transpose(rgb[:, :H, :W], (1, 2, 0))
     return rgb, t[:H, :W], sh[:H, :W], ao[:H, :W]
+
+
+@functools.partial(jax.jit, static_argnames=("scene_treedef", "leaf_shapes", "cfg", "pc"))
+def _render_kernel_entry(scene_treedef, leaf_shapes, leaves, camera, light, mat, cfg, pc):
+    """Single-jit entry: parameter/uniform packing traces into the same
+    program as the pallas_call.  Packing eagerly costs ~10 tiny device ops
+    per frame — on relay/tunnelled backends each eager dispatch is ~1-3 ms,
+    an order of magnitude more than the 1080p kernel itself."""
+    scene = jax.tree_util.tree_unflatten(scene_treedef, leaves)
+    params = scene_param_vector(scene)
+    uniforms = pack_uniforms(camera, light, mat)
+    uniforms = uniforms.at[_U_K].set(jnp.asarray(cfg.shadow.k, jnp.float32))
+    return _render_kernel_call(scene_treedef, leaf_shapes, params, uniforms, cfg, pc)
 
 
 def render_kernel_forward(
@@ -353,12 +404,9 @@ def render_kernel_forward(
     """Fused forward render. Returns ``(rgb (H,W,3), t, shadow, ao)``.
 
     The kernel is recompiled per (scene structure, cfg, pc); scene/camera/
-    light/material *values* are runtime SMEM inputs — no recompation when
+    light/material *values* are runtime inputs — no recompilation when
     parameters change (the inverse-rendering hot path).
     """
-    params = scene_param_vector(scene)
-    uniforms = pack_uniforms(camera, light, mat)
-    uniforms = uniforms.at[_U_K].set(jnp.asarray(cfg.shadow.k, jnp.float32))
     leaves, treedef = jax.tree_util.tree_flatten(scene)
     leaf_shapes = tuple(jnp.shape(l) for l in leaves)
-    return _render_kernel_call(treedef, leaf_shapes, params, uniforms, cfg, pc)
+    return _render_kernel_entry(treedef, leaf_shapes, tuple(leaves), camera, light, mat, cfg, pc)
