@@ -25,12 +25,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from sdf3d_tpu.camera import Camera, camera_rays
+from sdf3d_tpu.camera import Camera
 from sdf3d_tpu.config import RenderConfig
 from sdf3d_tpu.diff import _DENOM_FLOOR
 from sdf3d_tpu.lighting import Material, PointLight
 from sdf3d_tpu.ops.render_kernel import PallasRenderConfig, render_kernel_forward
-from sdf3d_tpu.render import shade_pixels
 from sdf3d_tpu.sdf.node import SDFNode
 
 
@@ -53,45 +52,127 @@ def _fwd(cfg, pc, scene, camera, light, mat):
     return rgb, (scene, camera, light, mat, t, shadow, ao)
 
 
-def _reattach_t(cfg, scene, origins, directions, t0):
-    """Value ``t0`` with the implicit-function VJP toward scene/rays.
+def _planar_shade(cfg, scene, camera, light, mat, t, shadow, ao):
+    """The kernel's shading expression re-traced in planar SoA form.
 
-    ``t0`` itself is a stored constant (cotangent 0); gradients w.r.t.
-    scene/origins/directions come from the level-set relation at the hit.
+    The backward pass differentiates *this* (via ``jax.vjp``) instead of the
+    AoS ``(H, W, 3)`` shade path: every intermediate is an ``(H, W)`` plane,
+    matching the layout XLA vectorizes well on TPU (the AoS path's trailing
+    size-3 axis cost the backward ~5 ms/frame at 1080p vs ~1 ms planar).
+    Mirrors ops/render_kernel.py::_render_tile_kernel stage for stage, and
+    reuses the same scene-program emitter for SDF evals.
+
+    ``t`` (hit distance) is re-attached through the implicit-function
+    theorem without a custom_vjp: with ``t₀ = stop_grad(t)``,
+    ``t* = t₀ − (f(o + t₀·d, θ) − stop_grad(f)) / stop_grad(∇f·d)`` has
+    primal value exactly ``t₀`` and the implicit-function gradients
+    ∂t/∂θ = −f_θ/(∇f·d), ∂t/∂o = −∇f/(∇f·d), ∂t/∂d = −t₀·∇f/(∇f·d)
+    (diff.py semantics; masked where unusable).  ``shadow`` and ``ao`` are
+    detached factors (ShadowConfig.grad == "detach" semantics).
     """
+    from sdf3d_tpu.camera import focal_z, pixel_grid
+    from sdf3d_tpu.ops.scene_program import compile_scene, scene_param_vector
 
-    @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-    def reattach(mc, scene, o, d, t):
-        return t
+    f32 = jnp.float32
+    H = cfg.ndc_height or cfg.height
+    W = cfg.ndc_width or cfg.width
+    mc = cfg.march
 
-    def fwd(mc, scene, o, d, t):
-        return t, (scene, o, d, t)
+    params = scene_param_vector(scene)
+    soa = compile_scene(scene)
 
-    def bwd(mc, res, g):
-        scene, o, d, t = res
-        p = o + t[..., None] * d
-        _, denom = jax.jvp(lambda q: scene.distance(q), (p,), (d,))
-        hit = t <= mc.max_distance
-        usable = hit & (jnp.abs(denom) >= _DENOM_FLOOR)
-        u = jnp.where(usable, -g / jnp.where(usable, denom, 1.0), 0.0)
-        _, pullback = jax.vjp(lambda sc, q: sc.distance(q), scene, p)
-        scene_bar, p_bar = pullback(u)
-        return scene_bar, p_bar, t[..., None] * p_bar, jnp.zeros_like(t)
+    def sdf(px, py, pz):
+        return soa(px, py, pz, lambda k: params[k])
 
-    reattach.defvjp(fwd, bwd)
-    return reattach(cfg.march, scene, origins, directions, t0)
+    # ---- ray generation (kernel parity: normalize, rotate, re-normalize) ----
+    qx, qy = pixel_grid(cfg.width, cfg.height)
+    ar = f32(W / H)
+    vx = qx * ar
+    vy = qy
+    vz = jnp.broadcast_to(focal_z(camera.fov_deg, cfg.ray_mode), qx.shape)
+    inv = jax.lax.rsqrt(vx * vx + vy * vy + vz * vz)
+    vx, vy, vz = vx * inv, vy * inv, vz * inv
+    m = camera.c2w
+    dx = m[0, 0] * vx + m[0, 1] * vy + m[0, 2] * vz
+    dy = m[1, 0] * vx + m[1, 1] * vy + m[1, 2] * vz
+    dz = m[2, 0] * vx + m[2, 1] * vy + m[2, 2] * vz
+    inv2 = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    dx, dy, dz = dx * inv2, dy * inv2, dz * inv2
+    ox, oy, oz = camera.position[0], camera.position[1], camera.position[2]
+
+    # ---- implicit-function re-attachment of the stored hit distance ----
+    sg = jax.lax.stop_gradient
+    t0 = sg(t)
+    px0, py0, pz0 = sg(ox + t0 * dx), sg(oy + t0 * dy), sg(oz + t0 * dz)
+    ddx, ddy, ddz = sg(dx), sg(dy), sg(dz)
+    _, denom = jax.jvp(sdf, (px0, py0, pz0), (ddx, ddy, ddz))
+    denom = sg(denom)
+    usable = (t0 <= mc.max_distance) & (jnp.abs(denom) >= _DENOM_FLOOR)
+    inv_denom = jnp.where(usable, 1.0 / jnp.where(usable, denom, 1.0), 0.0)
+    f_here = sdf(ox + t0 * dx, oy + t0 * dy, oz + t0 * dz)
+    t_att = t0 - (f_here - sg(f_here)) * inv_denom
+
+    hx, hy, hz = ox + t_att * dx, oy + t_att * dy, oz + t_att * dz
+
+    # ---- normals (kernel parity) ----
+    e = f32(mc.epsilon)
+    if cfg.normals == "central":
+        nx = sdf(hx + e, hy, hz) - sdf(hx - e, hy, hz)
+        ny = sdf(hx, hy + e, hz) - sdf(hx, hy - e, hz)
+        nz = sdf(hx, hy, hz + e) - sdf(hx, hy, hz - e)
+    elif cfg.normals == "tetrahedron":
+        s0 = sdf(hx + e, hy - e, hz - e)
+        s1 = sdf(hx - e, hy - e, hz + e)
+        s2 = sdf(hx - e, hy + e, hz - e)
+        s3 = sdf(hx + e, hy + e, hz + e)
+        nx = s0 - s1 - s2 + s3
+        ny = -s0 - s1 + s2 + s3
+        nz = -s0 + s1 - s2 + s3
+    else:
+        raise ValueError(f"planar backward supports central/tetrahedron normals, not {cfg.normals!r}")
+    ninv = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-24))
+    nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
+
+    # ---- incident light / detached secondary factors ----
+    lx, ly, lz = light.position[0], light.position[1], light.position[2]
+    ix, iy, iz = lx - hx, ly - hy, lz - hz
+    iinv = jax.lax.rsqrt(jnp.maximum(ix * ix + iy * iy + iz * iz, 1e-24))
+    ix, iy, iz = ix * iinv, iy * iinv, iz * iinv
+    shadow = sg(shadow)
+    ao = sg(ao)
+
+    # ---- shading (kernel parity) ----
+    wx, wy, wz = ox - hx, oy - hy, oz - hz
+    winv = jax.lax.rsqrt(jnp.maximum(wx * wx + wy * wy + wz * wz, 1e-24))
+    wx, wy, wz = wx * winv, wy * winv, wz * winv
+    hwx, hwy, hwz = ix + wx, iy + wy, iz + wz
+    hwinv = jax.lax.rsqrt(jnp.maximum(hwx * hwx + hwy * hwy + hwz * hwz, 1e-24))
+    hwx, hwy, hwz = hwx * hwinv, hwy * hwinv, hwz * hwinv
+
+    ndoth = jnp.maximum(nx * hwx + ny * hwy + nz * hwz, 0.0)
+    spec = jnp.power(ndoth, mat.shininess)
+    dif = jnp.clip(nx * ix + ny * iy + nz * iz, 0.0, 1.0) * shadow
+    amb_scale = light.ambient * ao if cfg.ao.enabled else light.ambient * jnp.ones_like(dif)
+
+    if cfg.shading == "blinn_phong":
+        chans = [amb_scale * mat.ambient[c] + dif * mat.diffuse[c] + spec * mat.specular[c] for c in range(3)]
+    elif cfg.shading == "lambert":
+        chans = [amb_scale * mat.ambient[c] + dif * mat.diffuse[c] for c in range(3)]
+    else:
+        raise ValueError(f"unknown shading mode {cfg.shading!r}")
+
+    if cfg.background is not None:
+        miss = sg(t) > mc.max_distance
+        chans = [jnp.where(miss, f32(bgc), ch) for bgc, ch in zip(cfg.background, chans)]
+
+    return jnp.stack(chans, axis=-1)
 
 
 def _bwd(cfg, pc, residuals, g_rgb):
     scene, camera, light, mat, t, shadow, ao = residuals
 
     def shade_path(scene_, camera_, light_, mat_):
-        o, d = camera_rays(camera_, cfg.width, cfg.height, cfg.ray_mode)
-        t_diff = _reattach_t(cfg, scene_, o, d, t)
-        return shade_pixels(
-            scene_, o, d, t_diff, light_, mat_, cfg,
-            shadow_override=shadow, ao_override=ao,
-        )
+        return _planar_shade(cfg, scene_, camera_, light_, mat_, t, shadow, ao)
 
     _, pullback = jax.vjp(shade_path, scene, camera, light, mat)
     return pullback(g_rgb)
