@@ -10,7 +10,7 @@ import subprocess
 import sys
 
 
-def tpu_alive(timeout_s: int = 120, attempts: int = 2) -> bool:
+def tpu_alive(timeout_s: int = 180, attempts: int = 3) -> bool:
     """Probe TPU compute in a subprocess — a hung tunnel blocks XLA calls
     uninterruptibly, so the probe must be killable from outside.  Retried:
     a single transient tunnel stall must not demote the whole benchmark run
