@@ -26,6 +26,14 @@ class MarchConfig:
     #: (`lax.while_loop`); turn off for a fixed-trip-count `fori_loop`, which
     #: is bitwise identical but never exits early.
     early_exit: bool = True
+    #: Over-relaxed sphere tracing (Keinert et al. 2014, "Enhanced Sphere
+    #: Tracing"): step ``ω·s`` instead of ``s`` and fall back (step back and
+    #: drop to ω=1 for that ray) when consecutive bounding spheres stop
+    #: overlapping.  ``1.0`` (default) is the reference's exact march
+    #: (``voxel_fragment.frag:86-103``); ``1.2–1.9`` cuts step counts
+    #: 20–40% on grazing rays at sub-epsilon image change.  Opt-in
+    #: acceleration — parity tests require 1.0.
+    relaxation: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -65,9 +65,16 @@ def sphere_trace(sdf_fn: SDFFn, origins: jnp.ndarray, directions: jnp.ndarray, c
     ``distance > max_distance or sdf < epsilon``.  Like the reference there is
     no hit/miss flag — misses simply carry a distance beyond ``max_distance``
     (test with :func:`hit_mask`).
+
+    With ``cfg.relaxation > 1`` the march runs Keinert-style over-relaxed
+    sphere tracing instead (see :class:`MarchConfig`): same termination
+    criteria, fewer steps, final distances within a few ε of the exact march.
     """
     batch = jnp.broadcast_shapes(origins.shape[:-1], directions.shape[:-1])
     dtype = origins.dtype
+
+    if cfg.relaxation != 1.0:
+        return _sphere_trace_relaxed(sdf_fn, origins, directions, cfg)
 
     def body(i, carry):
         dist, active = carry
@@ -82,6 +89,46 @@ def sphere_trace(sdf_fn: SDFFn, origins: jnp.ndarray, directions: jnp.ndarray, c
     active0 = jnp.ones(batch, jnp.bool_)
     dist, _ = _run_masked_loop(cfg.max_steps, cfg.early_exit, body, (dist0, active0))
     return dist
+
+
+def _sphere_trace_relaxed(sdf_fn: SDFFn, origins: jnp.ndarray, directions: jnp.ndarray, cfg: MarchConfig) -> jnp.ndarray:
+    """Over-relaxed sphere trace (Keinert et al. 2014).
+
+    Steps ``ω·s``; when consecutive bounding spheres stop overlapping
+    (``|s| + prev_radius < step_len``) the over-relaxed step provably jumped
+    a surface, so the lane steps back by ``(ω−1)·step_len`` and continues
+    conservatively with ω=1.  A lane lands exactly (``+s``, like the
+    reference) on the step that terminates it.  Termination matches the
+    reference criteria: ``t > max_distance`` or ``s < ε`` (the latter only on
+    non-fallback steps — a fallback's sample point is beyond the validated
+    interval).
+    """
+    batch = jnp.broadcast_shapes(origins.shape[:-1], directions.shape[:-1])
+    dtype = origins.dtype
+    omega0 = jnp.asarray(cfg.relaxation, dtype)
+
+    def body(i, carry):
+        t, prev_r, step_len, om, active = carry
+        p = origins + t[..., None] * directions
+        s = sdf_fn(p)
+        fail = (om > 1.0) & (jnp.abs(s) + prev_r < step_len)
+        hit = ~fail & (s < cfg.epsilon)
+        new_step = jnp.where(fail, step_len * (1.0 - om), om * s)
+        new_step = jnp.where(hit, s, new_step)  # land on the surface like the exact march
+        om = jnp.where(fail, 1.0, om)
+        t_new = jnp.where(active, t + new_step, t)
+        done = hit | (t_new > cfg.max_distance)
+        return t_new, jnp.abs(s), jnp.where(active, new_step, step_len), om, active & ~done
+
+    carry0 = (
+        jnp.zeros(batch, dtype),
+        jnp.zeros(batch, dtype),
+        jnp.zeros(batch, dtype),
+        jnp.full(batch, omega0.astype(dtype)),
+        jnp.ones(batch, jnp.bool_),
+    )
+    t, _, _, _, _ = _run_masked_loop(cfg.max_steps, cfg.early_exit, body, carry0)
+    return t
 
 
 def hit_mask(distance: jnp.ndarray, cfg: MarchConfig) -> jnp.ndarray:

@@ -169,6 +169,28 @@ def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, n_para
         step, _, active = state
         return jnp.logical_and(step < mc.max_steps, jnp.max(active) > 0.5)
 
+    def relaxed_cond(state):
+        step, _, _, _, _, active = state
+        return jnp.logical_and(step < mc.max_steps, jnp.max(active) > 0.5)
+
+    def relaxed_body(state):
+        # Keinert over-relaxed sphere tracing (march.py::_sphere_trace_relaxed
+        # semantics, f32 lane masks/ω per the Mosaic i1-carry restriction).
+        step, t, prev_r, step_len, om, active = state
+        for i in range(chk):
+            s = sdf(ox + t * dx, oy + t * dy, oz + t * dz)
+            fail = (om > 1.0) & (jnp.abs(s) + prev_r < step_len)
+            hit = ~fail & (s < mc.epsilon)
+            new_step = jnp.where(fail, step_len * (1.0 - om), om * s)
+            new_step = jnp.where(hit, s, new_step)
+            om = jnp.where(fail, 1.0, om)
+            take = (active > 0.5) & (step + i < mc.max_steps)
+            t = jnp.where(take, t + new_step, t)
+            prev_r = jnp.where(take, jnp.abs(s), prev_r)
+            step_len = jnp.where(take, new_step, step_len)
+            active = jnp.where(take & (hit | (t > mc.max_distance)), 0.0, active)
+        return step + chk, t, prev_r, step_len, om, active
+
     def march_body(state):
         # ``chk`` unrolled steps per convergence check: the cross-lane
         # max(active) reduction and scalar loop test are amortized over a
@@ -186,11 +208,25 @@ def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, n_para
             active = jnp.where(take & ((dist > mc.max_distance) | (s < mc.epsilon)), 0.0, active)
         return step + chk, dist, active
 
-    _, t, _ = jax.lax.while_loop(
-        march_cond,
-        march_body,
-        (jnp.int32(0), jnp.zeros((TH, TW), f32), jnp.ones((TH, TW), f32)),
-    )
+    if mc.relaxation != 1.0:
+        _, t, _, _, _, _ = jax.lax.while_loop(
+            relaxed_cond,
+            relaxed_body,
+            (
+                jnp.int32(0),
+                jnp.zeros((TH, TW), f32),
+                jnp.zeros((TH, TW), f32),
+                jnp.zeros((TH, TW), f32),
+                jnp.full((TH, TW), f32(mc.relaxation)),
+                jnp.ones((TH, TW), f32),
+            ),
+        )
+    else:
+        _, t, _ = jax.lax.while_loop(
+            march_cond,
+            march_body,
+            (jnp.int32(0), jnp.zeros((TH, TW), f32), jnp.ones((TH, TW), f32)),
+        )
 
     hx, hy, hz = ox + t * dx, oy + t * dy, oz + t * dz
 

@@ -126,3 +126,76 @@ def test_ao_open_vs_occluded():
     ao_occ = ambient_occlusion(scene.distance, p_occ, n_up, cfg)
     assert float(ao_open) > 0.95
     assert float(ao_occ) < float(ao_open)
+
+
+class TestRelaxedMarch:
+    """Over-relaxed sphere tracing (MarchConfig.relaxation > 1)."""
+
+    def _rays(self):
+        from sdf3d_tpu.camera import Camera, camera_rays
+
+        return camera_rays(Camera.reference(), 64, 48)
+
+    @pytest.mark.parametrize("omega", [1.2, 1.6, 1.9])
+    def test_relaxed_distances_close_to_exact(self, omega):
+        scene = reference_scene()
+        o, d = self._rays()
+        exact = np.asarray(sphere_trace(scene.distance, o, d, CFG))
+        relaxed = np.asarray(
+            sphere_trace(scene.distance, o, d, MarchConfig(relaxation=omega))
+        )
+        # Rays that *converged* (landed with sdf < ε) must land within a few
+        # epsilon of the exact march.  Rays that exhausted the step budget
+        # without converging (slow horizon-ward escapes — a reference quirk:
+        # they are shaded wherever the loop ran out) legitimately travel
+        # farther under relaxation and are excluded.
+        s_final = np.asarray(scene.distance(o + exact[..., None] * d))
+        converged = (exact <= CFG.max_distance) & (s_final < CFG.epsilon)
+        assert np.mean(converged) > 0.5  # the scene's ground plane dominates
+        assert np.max(np.abs(relaxed[converged] - exact[converged])) < 5 * CFG.epsilon
+        # True range-misses miss in both.
+        miss = exact > CFG.max_distance
+        assert np.all(relaxed[miss] > CFG.max_distance)
+
+    def test_relaxed_uses_fewer_sdf_evals_on_grazing_rays(self):
+        # A grazing ray along a ground plane converges geometrically; the
+        # relaxed march must need meaningfully fewer steps. Count evals by
+        # wrapping the SDF.
+        scene = sdf.ground_plane()
+        o = jnp.array([0.0, 1.0, 0.0])
+        d = jnp.array([0.0, -0.05, 1.0]) / jnp.linalg.norm(jnp.array([0.0, -0.05, 1.0]))
+
+        def count_steps(cfg):
+            t = 0.0
+            steps = 0
+            import numpy as onp
+
+            t = 0.0
+            prev_r = 0.0
+            step_len = 0.0
+            om = cfg.relaxation
+            for _ in range(cfg.max_steps):
+                p = onp.asarray(o) + t * onp.asarray(d)
+                s = float(p[1])
+                steps += 1
+                fail = om > 1.0 and (abs(s) + prev_r < step_len)
+                hit = (not fail) and s < cfg.epsilon
+                new_step = step_len * (1.0 - om) if fail else om * s
+                if hit:
+                    new_step = s
+                if fail:
+                    om = 1.0
+                t += new_step
+                prev_r = abs(s)
+                step_len = new_step
+                if hit or t > cfg.max_distance:
+                    break
+            return steps
+
+        exact_steps = count_steps(MarchConfig())
+        relaxed_steps = count_steps(MarchConfig(relaxation=1.6))
+        assert relaxed_steps < exact_steps * 0.75
+        # And the jnp implementation agrees with the exact march's landing.
+        t_exact = float(sphere_trace(scene.distance, o, d, CFG))
+        t_relax = float(sphere_trace(scene.distance, o, d, MarchConfig(relaxation=1.6)))
+        assert abs(t_relax - t_exact) < 5 * CFG.epsilon

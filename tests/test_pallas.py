@@ -127,6 +127,17 @@ class TestKernelParity:
         assert (diff > 1e-4).mean() < 5e-4, f"{(diff > 1e-4).sum()} pixels off"
         assert diff.max() < 0.05
 
+    def test_relaxed_march_matches_xla_relaxed(self):
+        # Opt-in over-relaxed march: kernel and XLA implement the identical
+        # Keinert algorithm, so they agree to float tolerance; and both stay
+        # close to the exact march on converged rays (tests/test_march.py).
+        mc = dataclasses.replace(CFG.march, relaxation=1.6)
+        cfg = dataclasses.replace(CFG, march=mc)
+        rgb, t, _, _ = render_pallas_aux(cfg, s.reference_scene(), CAM, LIGHT, MAT, PC)
+        img = np.asarray(s.render(s.reference_scene(), CAM, LIGHT, MAT, cfg))
+        diff = np.abs(np.asarray(rgb) - img).max(-1)
+        assert (diff > 1e-4).mean() < 5e-4, f"{(diff > 1e-4).sum()} pixels off"
+
     def test_param_change_no_new_structure_needed(self):
         """Same tree structure, different values — runs through the same
         compiled kernel (values are SMEM inputs)."""
