@@ -34,6 +34,7 @@ from sdf3d_tpu.sdf.csg import (
     subtraction,
     union,
 )
+from sdf3d_tpu.sdf.grid import VoxelGrid, voxel_grid, voxelize
 from sdf3d_tpu.sdf.transforms import (
     Elongate,
     Onion,
@@ -67,4 +68,6 @@ __all__ = [
     "Elongate", "Onion", "RepeatInfinite", "Rotate", "Round", "Scale",
     "Translate", "elongate", "onion", "repeat_infinite", "rotate",
     "rotvec_to_matrix", "round_edges", "scale", "translate",
+    # voxel grid
+    "VoxelGrid", "voxel_grid", "voxelize",
 ]
