@@ -12,6 +12,7 @@ custom VJP → optax update → optional checkpoint + metrics line.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Any, Callable
 
@@ -206,14 +207,29 @@ def fit_scene(
     else:
         mask = None
 
-    @jax.jit
-    def step_fn(scene_, opt_state_):
+    def _one_step(scene_, opt_state_):
         loss, grads = value_and_grad(scene_, origins, directions, target)
         if mask is not None:
             grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
         updates, opt_state_ = opt.update(grads, opt_state_, scene_)
         scene_ = optax.apply_updates(scene_, updates)
         return scene_, opt_state_, loss
+
+    # Steps run in lax.scan chunks: one host dispatch per logging/checkpoint
+    # interval instead of per step.  On relay/tunnelled backends a dispatch
+    # costs ~10-100 ms — per-step dispatch made fits ~15x slower than the
+    # device compute; chunked, the loop is kernel-bound.
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run_chunk(scene_, opt_state_, n):
+        def body(carry, _):
+            sc, st = carry
+            sc, st, loss = _one_step(sc, st)
+            return (sc, st), loss
+
+        (scene_, opt_state_), chunk_losses = jax.lax.scan(
+            body, (scene_, opt_state_), None, length=n
+        )
+        return scene_, opt_state_, chunk_losses
 
     scene = scene0
     opt_state = opt.init(scene)
@@ -251,25 +267,34 @@ def fit_scene(
     n_pixels = render_config.width * render_config.height
     t0 = time.perf_counter()
     steps_run = 0
-    for step in range(start_step, fit_config.steps):
-        scene, opt_state, loss = step_fn(scene, opt_state)
-        steps_run += 1
-        if step % fit_config.log_every == 0 or step == fit_config.steps - 1:
-            loss_val = float(loss)
-            losses.append(loss_val)
-            if logger is not None:
-                logger.log(step=step, loss=loss_val)
-        if (
-            fit_config.checkpoint_dir
-            and fit_config.checkpoint_every
-            and (step + 1) % fit_config.checkpoint_every == 0
-        ):
+    ckpt_every = fit_config.checkpoint_every if fit_config.checkpoint_dir else 0
+    step = start_step
+    while step < fit_config.steps:
+        # Chunk ends at the next checkpoint boundary (sync points); logging
+        # needs no boundary — every step's loss comes back in the chunk array.
+        end = fit_config.steps
+        if ckpt_every:
+            end = min(end, ((step // ckpt_every) + 1) * ckpt_every)
+        n = end - step
+        scene, opt_state, chunk_losses = run_chunk(scene, opt_state, n)
+        chunk_losses = [float(x) for x in chunk_losses]  # one host sync per chunk
+        steps_run += n
+        for i, loss_val in enumerate(chunk_losses):
+            gstep = step + i
+            if gstep % fit_config.log_every == 0 or gstep == fit_config.steps - 1:
+                losses.append(loss_val)
+                if logger is not None:
+                    logger.log(step=gstep, loss=loss_val)
+        step = end
+        if ckpt_every and step % ckpt_every == 0:
             save_checkpoint(
-                fit_config.checkpoint_dir, (scene, opt_state), step + 1,
+                fit_config.checkpoint_dir, (scene, opt_state), step,
                 meta={"losses": [float(x) for x in losses], "fingerprint": fingerprint},
             )
 
-    jax.block_until_ready(jax.tree_util.tree_leaves(scene)[0])
+    from sdf3d_tpu.utils.profiling import force_completion
+
+    force_completion(scene)  # true sync barrier (block_until_ready is not, on relay backends)
     elapsed = time.perf_counter() - t0
     rays_s = n_pixels * steps_run / max(elapsed, 1e-9)
     return FitResult(scene=scene, losses=losses, steps_run=steps_run, rays_per_second=rays_s)
