@@ -1,4 +1,14 @@
-"""Shared example setup: pin to a live device (CPU fallback for hung TPUs)."""
+"""Shared example setup: import path + pin to a live device (CPU fallback
+for hung TPUs)."""
+
+import pathlib
+import sys
+
+# `python examples/foo.py` puts examples/ (not the repo root) on sys.path;
+# make the package importable without an install.
+_ROOT = str(pathlib.Path(__file__).resolve().parent.parent)
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 import jax
 

@@ -55,7 +55,18 @@ class InteractiveSession:
         self.stats: list[FrameStats] = []
 
     def camera(self) -> Camera:
-        return Camera.from_view_matrix(self.nav.view_matrix(), fov_deg=self.fov_deg)
+        # Host-side numpy pose math (a 4×4 inverse), not jnp: per-frame eager
+        # device ops cost milliseconds each on relay backends (dispatch
+        # discipline, docs/architecture.md).  The numpy leaves upload as
+        # arguments of the one jitted render call.
+        V = np.asarray(self.nav.view_matrix(), np.float32)
+        Vinv = np.linalg.inv(V)
+        base = np.array([0.0, 0.2, 2.0, 1.0], np.float32)
+        return Camera(
+            position=(Vinv @ base)[:3].astype(np.float32),
+            c2w=Vinv[:3, :3].astype(np.float32),
+            fov_deg=np.float32(self.fov_deg),
+        )
 
     def frame(self, dt: float = 1 / 60) -> np.ndarray:
         """Advance navigation and render one frame."""
