@@ -184,7 +184,9 @@ def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, n_para
             new_step = jnp.where(fail, step_len * (1.0 - om), om * s)
             new_step = jnp.where(hit, s, new_step)
             om = jnp.where(fail, 1.0, om)
-            take = (active > 0.5) & (step + i < mc.max_steps)
+            take = active > 0.5
+            if mc.max_steps % chk != 0:
+                take = take & (step + i < mc.max_steps)
             t = jnp.where(take, t + new_step, t)
             prev_r = jnp.where(take, jnp.abs(s), prev_r)
             step_len = jnp.where(take, new_step, step_len)
@@ -202,8 +204,11 @@ def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, n_para
             s = sdf(ox + dist * dx, oy + dist * dy, oz + dist * dz)
             # Body-local booleans are fine (only *carried* i1 vectors are
             # not); where() rather than active*s keeps frozen lanes
-            # NaN/inf-safe.
-            take = (active > 0.5) & (step + i < mc.max_steps)
+            # NaN/inf-safe.  The scalar step guard is only needed when the
+            # chunk can straddle max_steps (chk ∤ max_steps).
+            take = active > 0.5
+            if mc.max_steps % chk != 0:
+                take = take & (step + i < mc.max_steps)
             dist = jnp.where(take, dist + s, dist)
             active = jnp.where(take & ((dist > mc.max_distance) | (s < mc.epsilon)), 0.0, active)
         return step + chk, dist, active
@@ -274,7 +279,9 @@ def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, n_para
                 denom = dist - inter
                 valid = (denom > 0.0) & (d2 >= 0.0)
                 atten = jnp.where(valid, k * jnp.sqrt(jnp.maximum(d2, 0.0)) / jnp.where(valid, denom, 1.0), 1e30)
-                take = (active > 0.5) & (step + i < cfg.shadow.max_steps)
+                take = active > 0.5
+                if cfg.shadow.max_steps % chk != 0:
+                    take = take & (step + i < cfg.shadow.max_steps)
                 sh = jnp.where(take, jnp.minimum(sh, atten), sh)
                 dist = jnp.where(take, dist + s, dist)
                 prev = jnp.where(take, s, prev)

@@ -167,3 +167,38 @@ def render_depth(
     """Marched distance per pixel, shape ``(H, W)`` — debugging/AOV output."""
     origins, directions = camera_rays(camera, config.width, config.height, config.ray_mode)
     return sphere_trace(scene.distance, origins, directions, config.march)
+
+
+@partial(jax.jit, static_argnames=("config", "engine"))
+def render_batch(
+    scene: SDFNode,
+    cameras: Camera,
+    light: PointLight,
+    mat: Material,
+    config: RenderConfig,
+    engine: str = "pallas",
+) -> jnp.ndarray:
+    """Render a whole camera batch in ONE dispatch: ``(N, H, W, 3)``.
+
+    ``cameras`` is a Camera pytree with a leading batch axis on every leaf
+    (stack poses with ``jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+    *cams)``).  Frames run sequentially on-device via ``lax.map`` — the
+    animation/turntable/serving fast path: per-frame host dispatch costs
+    milliseconds on relay backends (docs/architecture.md, dispatch
+    discipline), so N frames per round trip is the TPU-native shape.
+    """
+    import jax as _jax
+
+    if engine == "pallas":
+        from sdf3d_tpu.ops import PallasRenderConfig
+        from sdf3d_tpu.ops.render_kernel import render_kernel_forward
+
+        pc = PallasRenderConfig()
+
+        def one(cam):
+            return render_kernel_forward(scene, cam, light, mat, config, pc)[0]
+    else:
+        def one(cam):
+            return render(scene, cam, light, mat, config)
+
+    return _jax.lax.map(one, cameras)

@@ -157,3 +157,23 @@ class TestSupersampling:
 
         g = jax.grad(loss)(jnp.float32(0.2))
         assert bool(jnp.isfinite(g)) and g != 0.0
+
+
+def test_render_batch_matches_per_frame():
+    import dataclasses
+    import jax
+    import sdf3d_tpu as s
+
+    cfg = dataclasses.replace(s.REFERENCE_CONFIG, width=64, height=48)
+    light, mat = s.reference_light(), s.reference_material()
+    scene = s.reference_scene()
+    cams = [s.Camera.orbit(azimuth_deg=120.0 * k) for k in range(3)]
+    cameras = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
+    out = s.render_batch(scene, cameras, light, mat, cfg, engine="xla")
+    assert out.shape == (3, 48, 64, 3)
+    for k in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out[k]),
+            np.asarray(s.render(scene, cams[k], light, mat, cfg)),
+            atol=1e-5,
+        )
