@@ -84,7 +84,7 @@ class PallasRenderConfig:
     interpret: bool = False
 
 
-def pack_uniforms(camera, light, mat) -> jnp.ndarray:
+def pack_uniforms(camera, light, mat, ray_mode: str = "reference") -> jnp.ndarray:
     """Flatten camera/light/material pytrees into the (28,) uniform vector."""
     from sdf3d_tpu.camera import focal_z  # local import to avoid cycle
 
@@ -92,7 +92,7 @@ def pack_uniforms(camera, light, mat) -> jnp.ndarray:
         [
             jnp.ravel(camera.position.astype(jnp.float32)),
             jnp.ravel(camera.c2w.astype(jnp.float32)),
-            jnp.ravel(focal_z(camera.fov_deg, "reference")[None].astype(jnp.float32)),
+            jnp.ravel(focal_z(camera.fov_deg, ray_mode)[None].astype(jnp.float32)),
             jnp.ravel(light.position.astype(jnp.float32)),
             jnp.ravel(jnp.asarray(light.ambient, jnp.float32)[None]),
             jnp.ravel(mat.ambient.astype(jnp.float32)),
@@ -431,7 +431,7 @@ def _render_kernel_entry(scene_treedef, leaf_shapes, leaves, camera, light, mat,
     an order of magnitude more than the 1080p kernel itself."""
     scene = jax.tree_util.tree_unflatten(scene_treedef, leaves)
     params = scene_param_vector(scene)
-    uniforms = pack_uniforms(camera, light, mat)
+    uniforms = pack_uniforms(camera, light, mat, cfg.ray_mode)
     uniforms = uniforms.at[_U_K].set(jnp.asarray(cfg.shadow.k, jnp.float32))
     return _render_kernel_call(scene_treedef, leaf_shapes, params, uniforms, cfg, pc)
 

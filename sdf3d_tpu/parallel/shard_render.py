@@ -105,7 +105,7 @@ def render_pallas_sharded(
     # Each device emits a slab of rows mapped through the full-image NDC.
     shard_cfg = _dc.replace(config, height=slab, ndc_height=config.height)
     params = scene_param_vector(scene)
-    uniforms = pack_uniforms(camera, light, mat)
+    uniforms = pack_uniforms(camera, light, mat, config.ray_mode)
     uniforms = uniforms.at[_U_K].set(jnp.asarray(config.shadow.k, jnp.float32))
     leaves, treedef = jax.tree_util.tree_flatten(scene)
     leaf_shapes = tuple(jnp.shape(l) for l in leaves)

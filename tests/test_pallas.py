@@ -127,6 +127,15 @@ class TestKernelParity:
         assert (diff > 1e-4).mean() < 5e-4, f"{(diff > 1e-4).sum()} pixels off"
         assert diff.max() < 0.05
 
+    def test_pinhole_ray_mode_matches_xla(self):
+        # The kernel must honor cfg.ray_mode (it once hardcoded the
+        # reference focal term, silently diverging from the XLA engine
+        # for pinhole configs).
+        cfg = dataclasses.replace(CFG, ray_mode="pinhole")
+        rgb, *_ = render_pallas_aux(cfg, s.reference_scene(), CAM, LIGHT, MAT, PC)
+        img = np.asarray(s.render(s.reference_scene(), CAM, LIGHT, MAT, cfg))
+        np.testing.assert_allclose(np.asarray(rgb), img, atol=1e-4)
+
     def test_relaxed_march_matches_xla_relaxed(self):
         # Opt-in over-relaxed march: kernel and XLA implement the identical
         # Keinert algorithm, so they agree to float tolerance; and both stay
