@@ -44,7 +44,7 @@ from sdf3d_tpu.diff import (
     render_rays_diff,
     sphere_trace_implicit,
 )
-from sdf3d_tpu.render import render, render_aa, render_batch, render_depth, render_rays, shade_pixels
+from sdf3d_tpu.render import render, render_aa, render_banded, render_batch, render_depth, render_rays, shade_pixels
 from sdf3d_tpu.scenes import (
     capsule_chain,
     csg_showcase,
@@ -69,7 +69,7 @@ __all__ = [
     "normal_central", "normal_tetrahedron", "soft_shadow", "sphere_trace",
     "coverage", "depth_implicit", "ray_min_sdf_diff",
     "render_diff", "render_rays_diff", "sphere_trace_implicit",
-    "render", "render_aa", "render_batch", "render_depth", "render_rays", "shade_pixels",
+    "render", "render_aa", "render_banded", "render_batch", "render_depth", "render_rays", "shade_pixels",
     "capsule_chain", "csg_showcase", "flagship_scene", "lattice_scene",
     "random_blobs", "reference_scene", "sphere_scene",
     "FitConfig", "FitResult", "fit_scene",

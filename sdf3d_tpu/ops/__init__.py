@@ -11,12 +11,15 @@ shader that *is* the renderer, and the empty compute-kernel slot
 - :mod:`sdf3d_tpu.ops.render_kernel` — the fused ray-gen → march → normals →
   shadow → AO → shade kernel (one VMEM round-trip per image tile);
 - :mod:`sdf3d_tpu.ops.render_pallas` — user-facing entry points with the
-  implicit-function custom VJP (backward pass needs no march at all).
+  implicit-function custom VJP (backward pass needs no march at all);
+- :mod:`sdf3d_tpu.ops.neural_kernel` — the matrix-layout MXU kernel for
+  neural-SDF scenes (march steps as matmul chains over ray blocks).
 """
 
 from sdf3d_tpu.ops.scene_program import compile_scene, scene_param_vector
 from sdf3d_tpu.ops.render_kernel import PallasRenderConfig, render_kernel_forward
 from sdf3d_tpu.ops.render_pallas import render_pallas, render_pallas_depth
+from sdf3d_tpu.ops.neural_kernel import NeuralRenderConfig, render_neural, render_neural_forward
 
 __all__ = [
     "compile_scene",
@@ -25,4 +28,7 @@ __all__ = [
     "render_kernel_forward",
     "render_pallas",
     "render_pallas_depth",
+    "NeuralRenderConfig",
+    "render_neural",
+    "render_neural_forward",
 ]

@@ -78,11 +78,25 @@ def _planar_shade(cfg, scene, camera, light, mat, t, shadow, ao):
     W = cfg.ndc_width or cfg.width
     mc = cfg.march
 
-    params = scene_param_vector(scene)
-    soa = compile_scene(scene)
+    try:
+        soa = compile_scene(scene)
+        # The emitter walk only runs on evaluation — probe it (cheap,
+        # abstract) so unsupported nodes fall back instead of raising
+        # mid-vjp.
+        jax.eval_shape(
+            lambda: soa(jnp.zeros((1, 1)), jnp.zeros((1, 1)), jnp.zeros((1, 1)), lambda k: jnp.float32(0))
+        )
+        params = scene_param_vector(scene)
 
-    def sdf(px, py, pz):
-        return soa(px, py, pz, lambda k: params[k])
+        def sdf(px, py, pz):
+            return soa(px, py, pz, lambda k: params[k])
+    except TypeError:
+        # Scene contains nodes without a Pallas emitter (e.g. NeuralSDF,
+        # VoxelGrid).  The planar backward only needs *some* differentiable
+        # evaluation; scene.distance on a stacked point works for every
+        # node and XLA still fuses it well (one stack per eval).
+        def sdf(px, py, pz):
+            return scene.distance(jnp.stack([px, py, pz], axis=-1))
 
     # ---- ray generation (kernel parity: normalize, rotate, re-normalize) ----
     qx, qy = pixel_grid(cfg.width, cfg.height)
