@@ -80,7 +80,7 @@ class PallasRenderConfig:
 
     tile_h: int = 16
     tile_w: int = 512
-    check_every: int = 5
+    check_every: int = 10
     interpret: bool = False
 
 
