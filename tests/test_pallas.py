@@ -23,8 +23,22 @@ from sdf3d_tpu.ops.scene_program import (
     unflatten_scene_params,
 )
 
+#: Default production config (ray-parameterized march SDFs): bit-exact for
+#: everything except a measure-zero set of silhouette rays that may flip one
+#: march step on ~1-ulp rounding differences — strict-allclose tests below
+#: pin ``ray_sdf=False`` (point-form evals, the oracle-parity contract).
 PC = PallasRenderConfig(tile_h=8, tile_w=128, interpret=True)
+PC_EXACT = PallasRenderConfig(tile_h=8, tile_w=128, interpret=True, ray_sdf=False)
 CFG = dataclasses.replace(s.REFERENCE_CONFIG, width=128, height=96)
+
+
+def assert_images_match(a, b, atol=1e-4, edge_frac=5e-4, hard=0.05):
+    """Quantile image comparison for the ray-march fast path: all but a
+    handful of silhouette-edge pixels agree to ``atol``; no pixel is off by
+    more than ``hard``."""
+    diff = np.abs(np.asarray(a) - np.asarray(b)).max(-1)
+    assert (diff > atol).mean() < edge_frac, f"{(diff > atol).sum()} pixels off"
+    assert diff.max() < hard
 CAM = s.Camera.reference()
 LIGHT, MAT = s.reference_light(), s.reference_material()
 
@@ -80,12 +94,25 @@ class TestSceneProgram:
 
 class TestKernelParity:
     def test_reference_scene_matches_xla(self):
-        rgb, t, _, _ = render_pallas_aux(CFG, s.reference_scene(), CAM, LIGHT, MAT, PC)
+        rgb, t, _, _ = render_pallas_aux(CFG, s.reference_scene(), CAM, LIGHT, MAT, PC_EXACT)
         img = np.asarray(s.render(s.reference_scene(), CAM, LIGHT, MAT, CFG))
         np.testing.assert_allclose(np.asarray(rgb), img, atol=1e-4)
 
+    def test_reference_scene_ray_mode(self):
+        # Default (ray-parameterized) march: quantile parity (module docstring).
+        rgb, *_ = render_pallas_aux(CFG, s.reference_scene(), CAM, LIGHT, MAT, PC)
+        img = np.asarray(s.render(s.reference_scene(), CAM, LIGHT, MAT, CFG))
+        assert_images_match(rgb, img)
+
+    def test_kitchen_sink_scene_ray_mode(self):
+        # Every node type through the ray emitters (incl. the point-eval
+        # fallback for Elongate/RepeatInfinite).
+        rgb, *_ = render_pallas_aux(CFG, _kitchen_sink_scene(), CAM, LIGHT, MAT, PC)
+        img = np.asarray(s.render(_kitchen_sink_scene(), CAM, LIGHT, MAT, CFG))
+        assert_images_match(rgb, img)
+
     def test_flagship_scene_matches_xla(self):
-        rgb, *_ = render_pallas_aux(CFG, s.flagship_scene(), CAM, LIGHT, MAT, PC)
+        rgb, *_ = render_pallas_aux(CFG, s.flagship_scene(), CAM, LIGHT, MAT, PC_EXACT)
         img = np.asarray(s.render(s.flagship_scene(), CAM, LIGHT, MAT, CFG))
         np.testing.assert_allclose(np.asarray(rgb), img, atol=1e-4)
 
@@ -93,26 +120,26 @@ class TestKernelParity:
         cfg = dataclasses.replace(
             CFG, normals="tetrahedron", ao=AOConfig(enabled=True)
         )
-        rgb, *_ = render_pallas_aux(cfg, s.flagship_scene(), CAM, LIGHT, MAT, PC)
+        rgb, *_ = render_pallas_aux(cfg, s.flagship_scene(), CAM, LIGHT, MAT, PC_EXACT)
         img = np.asarray(s.render(s.flagship_scene(), CAM, LIGHT, MAT, cfg))
         np.testing.assert_allclose(np.asarray(rgb), img, atol=1e-4)
 
     def test_background_compositing(self):
         cfg = dataclasses.replace(CFG, background=(1.0, 0.0, 1.0))
-        rgb, *_ = render_pallas_aux(cfg, s.reference_scene(), CAM, LIGHT, MAT, PC)
+        rgb, *_ = render_pallas_aux(cfg, s.reference_scene(), CAM, LIGHT, MAT, PC_EXACT)
         img = np.asarray(s.render(s.reference_scene(), CAM, LIGHT, MAT, cfg))
         np.testing.assert_allclose(np.asarray(rgb), img, atol=1e-4)
         assert np.allclose(np.asarray(rgb)[0, 64], [1.0, 0.0, 1.0])  # sky pixel
 
     def test_lambert_shading(self):
         cfg = dataclasses.replace(CFG, shading="lambert")
-        rgb, *_ = render_pallas_aux(cfg, s.reference_scene(), CAM, LIGHT, MAT, PC)
+        rgb, *_ = render_pallas_aux(cfg, s.reference_scene(), CAM, LIGHT, MAT, PC_EXACT)
         img = np.asarray(s.render(s.reference_scene(), CAM, LIGHT, MAT, cfg))
         np.testing.assert_allclose(np.asarray(rgb), img, atol=1e-4)
 
     def test_non_divisible_image_padded_and_cropped(self):
         cfg = dataclasses.replace(CFG, width=100, height=75)
-        rgb, t, _, _ = render_pallas_aux(cfg, s.reference_scene(), CAM, LIGHT, MAT, PC)
+        rgb, t, _, _ = render_pallas_aux(cfg, s.reference_scene(), CAM, LIGHT, MAT, PC_EXACT)
         assert rgb.shape == (75, 100, 3)
         img = np.asarray(s.render(s.reference_scene(), CAM, LIGHT, MAT, cfg))
         np.testing.assert_allclose(np.asarray(rgb), img, atol=1e-4)
@@ -132,7 +159,7 @@ class TestKernelParity:
         # reference focal term, silently diverging from the XLA engine
         # for pinhole configs).
         cfg = dataclasses.replace(CFG, ray_mode="pinhole")
-        rgb, *_ = render_pallas_aux(cfg, s.reference_scene(), CAM, LIGHT, MAT, PC)
+        rgb, *_ = render_pallas_aux(cfg, s.reference_scene(), CAM, LIGHT, MAT, PC_EXACT)
         img = np.asarray(s.render(s.reference_scene(), CAM, LIGHT, MAT, cfg))
         np.testing.assert_allclose(np.asarray(rgb), img, atol=1e-4)
 
