@@ -21,6 +21,11 @@ import jax.numpy as jnp
 from sdf3d_tpu.sdf.node import as_f32, mat_vec, vnormalize
 from sdf3d_tpu.sdf.transforms import rotvec_to_matrix
 
+#: The reference app's base eye position (``voxel_fragment.frag:178-179``) —
+#: the single source of truth shared by Camera.reference/from_view_matrix and
+#: the host-side numpy pose math in interact/app.py.
+REFERENCE_BASE_POSITION = (0.0, 0.2, 2.0)
+
 
 @struct.dataclass
 class Camera:
@@ -46,7 +51,7 @@ class Camera:
         startup: orbit/pan init all zero, ``main.cpp:7-11``); both eye and ray
         directions are transformed by its inverse, exactly as the shader does.
         """
-        base_pos = jnp.array([0.0, 0.2, 2.0], dtype=jnp.float32)
+        base_pos = jnp.asarray(REFERENCE_BASE_POSITION, dtype=jnp.float32)
         if view_matrix is None:
             return Camera(
                 position=base_pos,
@@ -56,13 +61,13 @@ class Camera:
         return Camera.from_view_matrix(view_matrix, base_position=base_pos, fov_deg=60.0)
 
     @staticmethod
-    def from_view_matrix(view_matrix, base_position=(0.0, 0.2, 2.0), fov_deg=60.0) -> "Camera":
+    def from_view_matrix(view_matrix, base_position=None, fov_deg=60.0) -> "Camera":
         """Build from a 4×4 view matrix, applying ``inverse(V_mat)`` to the
         base eye (point) and keeping its rotation block for directions —
         mirrors ``voxel_fragment.frag:180,192``."""
         V = as_f32(view_matrix)
         Vinv = jnp.linalg.inv(V)
-        base = as_f32(base_position)
+        base = as_f32(REFERENCE_BASE_POSITION if base_position is None else base_position)
         pos = mat_vec(Vinv, jnp.append(base, 1.0))[:3]
         return Camera(position=pos, c2w=Vinv[:3, :3], fov_deg=as_f32(fov_deg))
 

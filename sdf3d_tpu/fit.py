@@ -82,6 +82,12 @@ class FitConfig:
     loss: str = "l2"
     #: Number of extra 2x-downsampled pyramid levels for "multiscale".
     pyramid_levels: int = 3
+    #: Max lax.scan chunk length (device steps per host dispatch).  0 = the
+    #: logging cadence (``log_every``), so metrics lines stream with live
+    #: timestamps and an interrupted fit keeps its completed chunks; raise it
+    #: to amortize dispatch further on relay backends when live logs don't
+    #: matter.  Chunks always also break at checkpoint boundaries.
+    chunk_steps: int = 0
     #: Weight of the soft-silhouette (coverage) loss term; 0 disables.
     #: Interior-point gradients are blind to silhouette motion (diff.py), so
     #: image-only fits can walk the wrong way when silhouettes mismatch; the
@@ -269,15 +275,18 @@ def fit_scene(
     steps_run = 0
     ckpt_every = fit_config.checkpoint_every if fit_config.checkpoint_dir else 0
     step = start_step
+    chunk_cap = fit_config.chunk_steps or max(fit_config.log_every, 1)
     while step < fit_config.steps:
-        # Chunk ends at the next checkpoint boundary (sync points); logging
-        # needs no boundary — every step's loss comes back in the chunk array.
-        end = fit_config.steps
+        # Chunk ends at the next checkpoint boundary (sync point) or after
+        # ``chunk_cap`` steps — capping keeps metrics lines streaming at the
+        # logging cadence (real timestamps, partial results on interrupt)
+        # instead of all arriving after the whole fit completes.
+        end = min(fit_config.steps, step + chunk_cap)
         if ckpt_every:
             end = min(end, ((step // ckpt_every) + 1) * ckpt_every)
         n = end - step
         scene, opt_state, chunk_losses = run_chunk(scene, opt_state, n)
-        chunk_losses = [float(x) for x in chunk_losses]  # one host sync per chunk
+        chunk_losses = jax.device_get(chunk_losses).tolist()  # one host sync per chunk
         steps_run += n
         for i, loss_val in enumerate(chunk_losses):
             gstep = step + i

@@ -61,7 +61,9 @@ class InteractiveSession:
         # arguments of the one jitted render call.
         V = np.asarray(self.nav.view_matrix(), np.float32)
         Vinv = np.linalg.inv(V)
-        base = np.array([0.0, 0.2, 2.0, 1.0], np.float32)
+        from sdf3d_tpu.camera import REFERENCE_BASE_POSITION
+
+        base = np.array([*REFERENCE_BASE_POSITION, 1.0], np.float32)
         return Camera(
             position=(Vinv @ base)[:3].astype(np.float32),
             c2w=Vinv[:3, :3].astype(np.float32),

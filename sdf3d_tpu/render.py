@@ -202,7 +202,7 @@ def render_banded(
     return out.reshape(Hp, W, 3)[:H]
 
 
-@partial(jax.jit, static_argnames=("config", "engine"))
+@partial(jax.jit, static_argnames=("config", "engine", "pc"))
 def render_batch(
     scene: SDFNode,
     cameras: Camera,
@@ -210,6 +210,7 @@ def render_batch(
     mat: Material,
     config: RenderConfig,
     engine: str = "pallas",
+    pc=None,
 ) -> jnp.ndarray:
     """Render a whole camera batch in ONE dispatch: ``(N, H, W, 3)``.
 
@@ -219,6 +220,9 @@ def render_batch(
     animation/turntable/serving fast path: per-frame host dispatch costs
     milliseconds on relay backends (docs/architecture.md, dispatch
     discipline), so N frames per round trip is the TPU-native shape.
+
+    ``pc``: optional PallasRenderConfig for the pallas engine (tile shape /
+    interpret-mode overrides — required to run this path on CPU).
     """
     import jax as _jax
 
@@ -226,7 +230,7 @@ def render_batch(
         from sdf3d_tpu.ops import PallasRenderConfig
         from sdf3d_tpu.ops.render_kernel import render_kernel_forward
 
-        pc = PallasRenderConfig()
+        pc = pc or PallasRenderConfig()
 
         def one(cam):
             return render_kernel_forward(scene, cam, light, mat, config, pc)[0]

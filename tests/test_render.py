@@ -177,3 +177,22 @@ def test_render_batch_matches_per_frame():
             np.asarray(s.render(scene, cams[k], light, mat, cfg)),
             atol=1e-5,
         )
+
+
+def test_render_batch_pallas_interpret_matches_xla():
+    """The default engine='pallas' branch, run in interpret mode on CPU via
+    the pc override (ADVICE r1: the default path must be testable)."""
+    import dataclasses
+    import jax
+    import sdf3d_tpu as s
+    from sdf3d_tpu.ops import PallasRenderConfig
+
+    cfg = dataclasses.replace(s.REFERENCE_CONFIG, width=128, height=16)
+    light, mat = s.reference_light(), s.reference_material()
+    scene = s.reference_scene()
+    cams = [s.Camera.orbit(azimuth_deg=180.0 * k) for k in range(2)]
+    cameras = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
+    pc = PallasRenderConfig(tile_h=8, tile_w=128, interpret=True, ray_sdf=False)
+    out = s.render_batch(scene, cameras, light, mat, cfg, engine="pallas", pc=pc)
+    ref = s.render_batch(scene, cameras, light, mat, cfg, engine="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
