@@ -44,7 +44,8 @@ def main() -> int:
         print(f"pallas/tpu path unavailable ({type(e).__name__}: {e}); "
               "falling back to XLA path", file=sys.stderr)
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
-        result = run_benchmark(engine="xla", mode="fwd_bwd", width=640, height=360, iters=3)
+        result = run_benchmark(engine="xla", mode="fwd_bwd", width=640, height=360, iters=3,
+                               frames_per_dispatch=2)
 
     print(json.dumps(result))
     return 0

