@@ -41,6 +41,18 @@ def make_fn(cfg, pc, mode="fwd", scene_name="reference"):
                 lambda c: render_kernel_forward(sc, c, light, mat, cfg, pc)[0].mean(), cameras
             )
         )
+    elif mode == "fwd_scan":
+        # Forward-only at the reference camera, serially dependent: each
+        # frame's checksum nudges a scene param so XLA cannot hoist frames.
+        @jax.jit
+        def fn(sc):
+            def body(sc_, _):
+                m = render_pallas(cfg, pc, sc_, cam, light, mat).mean()
+                leaves, td = jax.tree_util.tree_flatten(sc_)
+                leaves = [l + 1e-12 * m for l in leaves]
+                return jax.tree_util.tree_unflatten(td, leaves), m
+
+            return jax.lax.scan(body, sc, None, length=FRAMES)[1]
     else:
         target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
 
@@ -52,7 +64,7 @@ def make_fn(cfg, pc, mode="fwd", scene_name="reference"):
         def fn(sc):
             def body(sc_, _):
                 val, g = jax.value_and_grad(loss)(sc_)
-                return jax.tree_util.tree_map(lambda p, gg: p - 1e-7 * gg, sc_, g), val
+                return jax.tree_util.tree_map(lambda p, gg: p - 1e-30 * gg, sc_, g), val
 
             return jax.lax.scan(body, sc, None, length=FRAMES)[1]
 
@@ -119,10 +131,24 @@ def suite_breakdown(cfg):
     }
 
 
+
+def suite_refcam(cfg):
+    """Reference-camera costs, serially dependent (comparable to bench.py):
+    fwd-only scan vs fwd+bwd scan, default vs chk20/32x512 tiles."""
+    pc0 = PallasRenderConfig()
+    pc1 = PallasRenderConfig(check_every=20, tile_h=32, tile_w=512)
+    return {
+        "fwdscan_default": (cfg, pc0, "fwd_scan"),
+        "fwdscan_chk20_32x512": (cfg, pc1, "fwd_scan"),
+        "fwdbwd_default": (cfg, pc0, "fwd_bwd"),
+        "fwdbwd_chk20_32x512": (cfg, pc1, "fwd_bwd"),
+    }
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "stages"
     cfg = dataclasses.replace(s.REFERENCE_CONFIG, width=1920, height=1080)
-    suites = {"tiles": suite_tiles, "check": suite_check, "stages": suite_stages, "breakdown": suite_breakdown}
+    suites = {"tiles": suite_tiles, "check": suite_check, "stages": suite_stages, "breakdown": suite_breakdown, "refcam": suite_refcam}
     if which == "all":
         for name, fn in suites.items():
             print(f"--- {name} ---")

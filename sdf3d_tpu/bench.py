@@ -134,11 +134,16 @@ def run_benchmark(
             img = render_one(sc, cam)
             return jnp.sum((img - target) ** 2)
 
+        # The per-step update keeps frames serially dependent (no hoisting)
+        # but its scale must be negligible: a real step size deforms the
+        # scene away from the reference workload — march step counts change
+        # and the metric stops measuring the benchmark scene (observed:
+        # lr=1e-7 inflated the forward kernel 1.8 -> 3.1 ms/frame).
         @jax.jit
         def fn(sc):
             def body(sc_, _):
                 val, g = jax.value_and_grad(loss)(sc_)
-                sc_ = jax.tree_util.tree_map(lambda p, gg: p - 1e-7 * gg, sc_, g)
+                sc_ = jax.tree_util.tree_map(lambda p, gg: p - 1e-30 * gg, sc_, g)
                 return sc_, val
 
             _, vals = jax.lax.scan(body, sc, None, length=K)

@@ -38,6 +38,32 @@ SDFFn = Callable[[jnp.ndarray], jnp.ndarray]
 _NO_DARKEN = 1e30
 _TINY = 1e-30
 
+#: Closest-approach estimates beyond this are degenerate (the update is
+#: discarded anyway); capping them keeps inf out of the AD graph.
+_INTER_CAP = 1e15
+
+
+@jax.custom_jvp
+def _sqrt_grad_safe(x):
+    """``sqrt`` with the exact primal but a finite derivative at 0.
+
+    The shadow march computes ``d_est = sqrt(max(d2, 0))`` where ``d2 == 0``
+    exactly on every step that marches straight away from a plane
+    (``sdf_new = 2·sdf_prev`` ⇒ closest approach 0).  Plain ``sqrt`` has an
+    infinite derivative there; under reverse AD the tie-splitting
+    ``maximum`` passes it half the cotangent and the whole gradient goes
+    NaN.  The subgradient 0 at x = 0 is the correct choice: the primal sits
+    at the clamp boundary where the update is about to be discarded.
+    """
+    return jnp.sqrt(x)
+
+
+@_sqrt_grad_safe.defjvp
+def _sqrt_grad_safe_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    y = jnp.sqrt(x)
+    return y, jnp.where(x > 0, 0.5 / jnp.maximum(y, 1e-20), 0.0) * dx
+
 
 def _run_masked_loop(cfg_steps: int, early_exit: bool, body, carry):
     """Run ``body(i, carry)`` ``cfg_steps`` times; with ``early_exit`` the loop
@@ -214,9 +240,14 @@ def soft_shadow(
             jnp.zeros_like(s),
             s * s / (2.0 * jnp.where(prev_sdf == 0.0, _TINY, prev_sdf)),
         )
-        d2 = s * s - intersection * intersection
-        d_est = jnp.sqrt(jnp.maximum(d2, 0.0))
-        denom = dist - intersection
+        # Cap the degenerate prev≈0 blow-up before squaring: primal-identical
+        # (|inter| > 1e15 means d2 < 0 and denom < 0 either way, so the step
+        # is discarded by ``valid``), but without the cap ``inter²``
+        # overflows to inf and reverse AD produces 0·inf = NaN cotangents.
+        inter_c = jnp.clip(intersection, -_INTER_CAP, _INTER_CAP)
+        d2 = s * s - inter_c * inter_c
+        d_est = _sqrt_grad_safe(jnp.maximum(d2, 0.0))
+        denom = dist - inter_c
         # Valid update only when the closest-approach estimate is real
         # (d2 ≥ 0; GLSL's sqrt of a negative gives NaN, and min(x, NaN) keeps
         # x — i.e. no darkening) and the denominator is positive (GLSL's

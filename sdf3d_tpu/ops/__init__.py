@@ -18,7 +18,7 @@ shader that *is* the renderer, and the empty compute-kernel slot
 
 from sdf3d_tpu.ops.scene_program import compile_scene, scene_param_vector
 from sdf3d_tpu.ops.render_kernel import PallasRenderConfig, render_kernel_forward
-from sdf3d_tpu.ops.render_pallas import render_pallas, render_pallas_depth
+from sdf3d_tpu.ops.render_pallas import render_pallas, render_pallas_depth, render_pallas_planar
 from sdf3d_tpu.ops.neural_kernel import NeuralRenderConfig, render_neural, render_neural_forward
 
 __all__ = [
@@ -27,6 +27,7 @@ __all__ = [
     "PallasRenderConfig",
     "render_kernel_forward",
     "render_pallas",
+    "render_pallas_planar",
     "render_pallas_depth",
     "NeuralRenderConfig",
     "render_neural",

@@ -392,7 +392,9 @@ def _bwd(cfg, nc, residuals, g_rgb):
     scene, camera, light, mat, t, shadow, ao = residuals
 
     def shade_path(scene_, camera_, light_, mat_):
-        return _planar_shade(cfg, scene_, camera_, light_, mat_, t, shadow, ao)
+        # _planar_shade returns planar (3, H, W); this engine's output is
+        # (H, W, 3), so transpose the cotangent into the planar layout.
+        return jnp.transpose(_planar_shade(cfg, scene_, camera_, light_, mat_, t, shadow, ao), (1, 2, 0))
 
     _, pullback = jax.vjp(shade_path, scene, camera, light, mat)
     return pullback(g_rgb)

@@ -73,7 +73,9 @@ class PallasRenderConfig:
     inner steps are unrolled straight-line vector code.  Per-ray semantics
     are unchanged — lanes self-freeze via their mask, and a scalar
     ``step_idx < max_steps`` guard keeps the final partial chunk exact — so
-    any value yields reference-parity images.
+    any value yields reference-parity images.  Default 20 (measured optimum
+    at 1080p: 1.74 ms vs 1.79 at 10 and 1.94 at 5; 50 over-runs converged
+    tiles and loses).
 
     ``ray_sdf`` (default True): march SDF evals use the ray-parameterized
     scene program (scene_program.py ray emitters) — per-ray constants are
@@ -89,7 +91,7 @@ class PallasRenderConfig:
 
     tile_h: int = 16
     tile_w: int = 512
-    check_every: int = 10
+    check_every: int = 20
     ray_sdf: bool = True
     interpret: bool = False
 
@@ -472,8 +474,10 @@ def _render_kernel_call(scene_treedef, leaf_shapes, params, uniforms, cfg: Rende
         interpret=pc.interpret,
     )(uniforms, params)
 
-    rgb = jnp.transpose(rgb[:, :H, :W], (1, 2, 0))
-    return rgb, t[:H, :W], sh[:H, :W], ao[:H, :W]
+    # Planar (3, H, W) — the kernel's native layout; AoS consumers transpose
+    # in render_kernel_forward (keeping the VJP boundary planar, see
+    # ops/render_pallas.py::render_pallas_planar).
+    return rgb[:, :H, :W], t[:H, :W], sh[:H, :W], ao[:H, :W]
 
 
 @functools.partial(jax.jit, static_argnames=("scene_treedef", "leaf_shapes", "cfg", "pc"))
@@ -496,8 +500,11 @@ def render_kernel_forward(
     mat,
     cfg: RenderConfig,
     pc: PallasRenderConfig = PallasRenderConfig(),
+    planar: bool = False,
 ):
-    """Fused forward render. Returns ``(rgb (H,W,3), t, shadow, ao)``.
+    """Fused forward render. Returns ``(rgb, t, shadow, ao)`` with rgb
+    ``(H, W, 3)``, or the kernel-native planar ``(3, H, W)`` when
+    ``planar=True`` (skips a 50 MB relayout at 1080p).
 
     The kernel is recompiled per (scene structure, cfg, pc); scene/camera/
     light/material *values* are runtime inputs — no recompilation when
@@ -505,4 +512,7 @@ def render_kernel_forward(
     """
     leaves, treedef = jax.tree_util.tree_flatten(scene)
     leaf_shapes = tuple(jnp.shape(l) for l in leaves)
-    return _render_kernel_entry(treedef, leaf_shapes, tuple(leaves), camera, light, mat, cfg, pc)
+    rgb, t, sh, ao = _render_kernel_entry(treedef, leaf_shapes, tuple(leaves), camera, light, mat, cfg, pc)
+    if not planar:
+        rgb = jnp.transpose(rgb, (1, 2, 0))
+    return rgb, t, sh, ao

@@ -34,6 +34,28 @@ from sdf3d_tpu.sdf.node import SDFNode
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def render_pallas_planar(
+    cfg: RenderConfig,
+    pc: PallasRenderConfig,
+    scene: SDFNode,
+    camera: Camera,
+    light: PointLight,
+    mat: Material,
+) -> jnp.ndarray:
+    """Fused Pallas render, differentiable; returns planar RGB (3, H, W).
+
+    This planar form is the custom-VJP boundary: the incoming cotangent
+    arrives channel-planar, so the fused backward kernel reads contiguous
+    (H, W) planes.  With an (H, W, 3) boundary the backward had to extract
+    three lane-stride-3 channels from the AoS cotangent — Mosaic/XLA
+    relayouts costing more than the whole backward kernel (~1.7 ms vs
+    0.7 ms at 1080p).  :func:`render_pallas` wraps this in a transpose for
+    the user-facing (H, W, 3) layout.
+    """
+    rgb, _, _, _ = render_kernel_forward(scene, camera, light, mat, cfg, pc, planar=True)
+    return rgb
+
+
 def render_pallas(
     cfg: RenderConfig,
     pc: PallasRenderConfig,
@@ -43,12 +65,11 @@ def render_pallas(
     mat: Material,
 ) -> jnp.ndarray:
     """Fused Pallas render, differentiable; returns RGB (H, W, 3)."""
-    rgb, _, _, _ = render_kernel_forward(scene, camera, light, mat, cfg, pc)
-    return rgb
+    return jnp.transpose(render_pallas_planar(cfg, pc, scene, camera, light, mat), (1, 2, 0))
 
 
 def _fwd(cfg, pc, scene, camera, light, mat):
-    rgb, t, shadow, ao = render_kernel_forward(scene, camera, light, mat, cfg, pc)
+    rgb, t, shadow, ao = render_kernel_forward(scene, camera, light, mat, cfg, pc, planar=True)
     return rgb, (scene, camera, light, mat, t, shadow, ao)
 
 
@@ -147,13 +168,50 @@ def _planar_shade(cfg, scene, camera, light, mat, t, shadow, ao):
     ninv = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-24))
     nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
 
-    # ---- incident light / detached secondary factors ----
+    # ---- incident light / secondary factors ----
     lx, ly, lz = light.position[0], light.position[1], light.position[2]
     ix, iy, iz = lx - hx, ly - hy, lz - hz
     iinv = jax.lax.rsqrt(jnp.maximum(ix * ix + iy * iy + iz * iz, 1e-24))
     ix, iy, iz = ix * iinv, iy * iinv, iz * iinv
-    shadow = sg(shadow)
-    ao = sg(ao)
+
+    if cfg.shadow.enabled and cfg.shadow.grad == "ad":
+        # Penumbra-shape gradients (ShadowConfig.grad == "ad", matching the
+        # XLA path): re-march the shadow ray differentiably with a fixed trip
+        # count, then swap in the kernel's plane as the primal — forward
+        # values stay bit-exact with the fused kernel while gradients come
+        # from AD through the re-march.  O(shadow.max_steps) residuals under
+        # AD: an explicit opt-in for lighting-from-shadow inverse problems.
+        import dataclasses as _dc
+
+        from sdf3d_tpu.march import soft_shadow
+
+        sh_o = jnp.stack(
+            [hx + 2.0 * e * nx, hy + 2.0 * e * ny, hz + 2.0 * e * nz], axis=-1
+        )
+        inc = jnp.stack([ix, iy, iz], axis=-1)
+        mc_ad = _dc.replace(mc, early_exit=False)
+        shadow_ad = soft_shadow(
+            lambda p: sdf(p[..., 0], p[..., 1], p[..., 2]), sh_o, inc, cfg.shadow, mc_ad
+        )
+        shadow = shadow_ad - sg(shadow_ad) + sg(shadow)
+    else:
+        shadow = sg(shadow)
+
+    if cfg.ao.enabled:
+        # AO gradients always flow (shade_pixels never detaches AO on the
+        # XLA path): the fixed small tap loop is cheap to re-trace
+        # differentiably; the kernel's plane stays the primal.
+        occ = jnp.zeros_like(t0)
+        weight = 1.0
+        for tap in range(1, cfg.ao.samples + 1):
+            hh = cfg.ao.step * tap
+            sa = sdf(hx + hh * nx, hy + hh * ny, hz + hh * nz)
+            occ = occ + weight * (hh - sa)
+            weight *= cfg.ao.falloff
+        ao_ad = jnp.clip(1.0 - cfg.ao.strength * occ, 0.0, 1.0)
+        ao = ao_ad - sg(ao_ad) + sg(ao)
+    else:
+        ao = sg(ao)
 
     # ---- shading (kernel parity) ----
     wx, wy, wz = ox - hx, oy - hy, oz - hz
@@ -179,11 +237,56 @@ def _planar_shade(cfg, scene, camera, light, mat, t, shadow, ao):
         miss = sg(t) > mc.max_distance
         chans = [jnp.where(miss, f32(bgc), ch) for bgc, ch in zip(cfg.background, chans)]
 
-    return jnp.stack(chans, axis=-1)
+    # Planar (3, H, W): matches render_pallas_planar's output layout so the
+    # vjp cotangent slices into contiguous channel planes.
+    return jnp.stack(chans, axis=0)
+
+
+def _scene_compiles(scene) -> bool:
+    """True when every node has a Pallas emitter (fused-backward eligible)."""
+    from sdf3d_tpu.ops.scene_program import compile_scene
+
+    try:
+        soa = compile_scene(scene)
+        jax.eval_shape(
+            lambda: soa(jnp.zeros((1, 1)), jnp.zeros((1, 1)), jnp.zeros((1, 1)), lambda k: jnp.float32(0))
+        )
+        return True
+    except TypeError:
+        return False
 
 
 def _bwd(cfg, pc, residuals, g_rgb):
     scene, camera, light, mat, t, shadow, ao = residuals
+
+    # Fused Pallas backward (default path): shading vjp fully on-chip.  The
+    # XLA planar fallback covers shadow grad == "ad" (needs a differentiable
+    # re-march) and scenes without a kernel emitter (NeuralSDF/VoxelGrid).
+    use_fused = (
+        not (cfg.shadow.enabled and cfg.shadow.grad == "ad")
+        and cfg.normals in ("central", "tetrahedron")
+        and _scene_compiles(scene)
+    )
+    if use_fused:
+        from sdf3d_tpu.ops.render_bwd_kernel import render_kernel_backward
+        from sdf3d_tpu.ops.render_kernel import _U_K, pack_uniforms
+        from sdf3d_tpu.ops.scene_program import scene_param_vector
+
+        leaves, treedef = jax.tree_util.tree_flatten(scene)
+        leaf_shapes = tuple(jnp.shape(l) for l in leaves)
+        params, p_vjp = jax.vjp(scene_param_vector, scene)
+
+        def pack(cam_, light_, mat_):
+            u = pack_uniforms(cam_, light_, mat_, cfg.ray_mode)
+            return u.at[_U_K].set(jnp.asarray(cfg.shadow.k, jnp.float32))
+
+        uniforms, u_vjp = jax.vjp(pack, camera, light, mat)
+        g_params, g_uni = render_kernel_backward(
+            treedef, leaf_shapes, params, uniforms, g_rgb, t, shadow, ao, cfg, pc
+        )
+        (g_scene,) = p_vjp(g_params)
+        g_cam, g_light, g_mat = u_vjp(g_uni)
+        return g_scene, g_cam, g_light, g_mat
 
     def shade_path(scene_, camera_, light_, mat_):
         return _planar_shade(cfg, scene_, camera_, light_, mat_, t, shadow, ao)
@@ -192,7 +295,7 @@ def _bwd(cfg, pc, residuals, g_rgb):
     return pullback(g_rgb)
 
 
-render_pallas.defvjp(_fwd, _bwd)
+render_pallas_planar.defvjp(_fwd, _bwd)
 
 
 def render_pallas_depth(

@@ -219,3 +219,93 @@ class TestKernelGradients:
         gl, gm = jax.grad(loss, argnums=(0, 1))(jnp.float32(5.0), jnp.float32(12.0))
         assert np.isfinite(gl) and gl != 0.0
         assert np.isfinite(gm) and gm != 0.0
+
+
+class TestFusedBackwardKernel:
+    """The fused Pallas backward (ops/render_bwd_kernel.py) must produce the
+    same gradients as the XLA planar backward it replaced on the default
+    (shadow grad == "detach") path."""
+
+    def test_matches_planar_backward_all_inputs(self):
+        import importlib
+
+        rp = importlib.import_module("sdf3d_tpu.ops.render_pallas")
+        scene = s.reference_scene()
+
+        def loss(sc, c, l, m):
+            img = render_pallas(CFG, PC_EXACT, sc, c, l, m)
+            w = jnp.linspace(0.5, 1.5, img.size).reshape(img.shape)
+            return jnp.sum(img * w)
+
+        g_fused = jax.grad(loss, argnums=(0, 1, 2, 3))(scene, CAM, LIGHT, MAT)
+        orig = rp._scene_compiles
+        rp._scene_compiles = lambda scene: False  # force the planar fallback
+        try:
+            g_planar = jax.grad(loss, argnums=(0, 1, 2, 3))(scene, CAM, LIGHT, MAT)
+        finally:
+            rp._scene_compiles = orig
+
+        for gf, gp in zip(jax.tree_util.tree_leaves(g_fused), jax.tree_util.tree_leaves(g_planar)):
+            a, b = np.asarray(gf), np.asarray(gp)
+            np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-5 * max(1.0, np.abs(b).max()))
+
+    def test_matches_planar_backward_with_ao_and_background(self):
+        import importlib
+
+        rp = importlib.import_module("sdf3d_tpu.ops.render_pallas")
+        cfg = dataclasses.replace(
+            CFG, ao=AOConfig(enabled=True), background=(0.1, 0.2, 0.3)
+        )
+        scene = s.reference_scene()
+
+        def loss(sc, l):
+            return jnp.sum(render_pallas(cfg, PC_EXACT, sc, CAM, l, MAT))
+
+        g_fused = jax.grad(loss, argnums=(0, 1))(scene, LIGHT)
+        orig = rp._scene_compiles
+        rp._scene_compiles = lambda scene: False
+        try:
+            g_planar = jax.grad(loss, argnums=(0, 1))(scene, LIGHT)
+        finally:
+            rp._scene_compiles = orig
+        for gf, gp in zip(jax.tree_util.tree_leaves(g_fused), jax.tree_util.tree_leaves(g_planar)):
+            a, b = np.asarray(gf), np.asarray(gp)
+            np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-5 * max(1.0, np.abs(b).max()))
+
+
+class TestPallasShadowADGradients:
+    """ShadowConfig.grad == 'ad' on the pallas engine: penumbra-shape
+    gradients flow (VERDICT r1 item 4).  FD-validated on shadowed pixels."""
+
+    def test_penumbra_gradient_matches_fd(self):
+        cfg = dataclasses.replace(
+            CFG, shadow=dataclasses.replace(CFG.shadow, grad="ad")
+        )
+
+        def scene_of(r):
+            return s.sdf.union(
+                s.sdf.ground_plane(), s.sdf.sphere(center=(0.0, 0.4, 0.0), radius=r)
+            )
+
+        # Find penumbra pixels: plane hits whose shadow factor is interior.
+        _, t, sh, _ = render_pallas_aux(CFG, scene_of(jnp.float32(0.2)), CAM, LIGHT, MAT, PC_EXACT)
+        sh, t = np.asarray(sh), np.asarray(t)
+        mask = (sh > 0.05) & (sh < 0.8) & (t < 50.0)
+        assert mask.sum() > 10, "no penumbra pixels found at this resolution"
+        mask = jnp.asarray(mask, jnp.float32)
+
+        def loss(r, config):
+            img = render_pallas(config, PC_EXACT, scene_of(r), CAM, LIGHT, MAT)
+            return jnp.sum(img * mask[..., None])
+
+        g_ad = jax.grad(loss)(jnp.float32(0.2), cfg)
+        e = 1e-3
+        fd = (loss(jnp.float32(0.2 + e), CFG) - loss(jnp.float32(0.2 - e), CFG)) / (2 * e)
+        # detach drops most of this gradient; ad must match FD.
+        assert float(g_ad) == pytest.approx(float(fd), rel=0.1)
+
+    def test_ad_mode_primal_is_bit_exact_with_detach(self):
+        cfg_ad = dataclasses.replace(CFG, shadow=dataclasses.replace(CFG.shadow, grad="ad"))
+        a = render_pallas(CFG, PC_EXACT, s.reference_scene(), CAM, LIGHT, MAT)
+        b = render_pallas(cfg_ad, PC_EXACT, s.reference_scene(), CAM, LIGHT, MAT)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
