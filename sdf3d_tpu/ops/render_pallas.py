@@ -51,9 +51,25 @@ def render_pallas_planar(
     relayouts costing more than the whole backward kernel (~1.7 ms vs
     0.7 ms at 1080p).  :func:`render_pallas` wraps this in a transpose for
     the user-facing (H, W, 3) layout.
+
+    Scene families without a Mosaic emitter (VoxelGrid, NeuralSDF — their
+    per-lane gathers/matmuls don't lower to the kernel; docs/performance.md
+    §Grid scenes) transparently run the banded-XLA pipeline instead, with
+    the same residual planes and the same differentiable API.
     """
-    rgb, _, _, _ = render_kernel_forward(scene, camera, light, mat, cfg, pc, planar=True)
+    rgb, _, _, _ = _forward_any(cfg, pc, scene, camera, light, mat)
     return rgb
+
+
+def _forward_any(cfg, pc, scene, camera, light, mat):
+    """Forward via the fused kernel, or banded XLA when no emitter exists;
+    returns (planar rgb (3,H,W), t, shadow, ao)."""
+    if _scene_compiles(scene):
+        return render_kernel_forward(scene, camera, light, mat, cfg, pc, planar=True)
+    from sdf3d_tpu.render import render_aux_banded
+
+    rgb, t, shadow, ao = render_aux_banded(scene, camera, light, mat, cfg)
+    return jnp.transpose(rgb, (2, 0, 1)), t, shadow, ao
 
 
 def render_pallas(
@@ -69,7 +85,7 @@ def render_pallas(
 
 
 def _fwd(cfg, pc, scene, camera, light, mat):
-    rgb, t, shadow, ao = render_kernel_forward(scene, camera, light, mat, cfg, pc, planar=True)
+    rgb, t, shadow, ao = _forward_any(cfg, pc, scene, camera, light, mat)
     return rgb, (scene, camera, light, mat, t, shadow, ao)
 
 

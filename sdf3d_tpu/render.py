@@ -202,6 +202,65 @@ def render_banded(
     return out.reshape(Hp, W, 3)[:H]
 
 
+@partial(jax.jit, static_argnames=("config", "band_rows"))
+def render_aux_banded(
+    scene: SDFNode,
+    camera: Camera,
+    light: PointLight,
+    mat: Material,
+    config: RenderConfig,
+    band_rows: int = 48,
+):
+    """Banded XLA render returning ``(rgb (H,W,3), t, shadow, ao)`` planes.
+
+    The XLA counterpart of ``ops.render_kernel_forward``'s aux outputs, for
+    scene families whose SDF evaluation is gather/matmul-shaped (VoxelGrid,
+    NeuralSDF) — Mosaic cannot lower their per-lane gathers (only 2-D
+    same-shape take-along-axis, probed 2026-08; see docs/performance.md
+    §Grid scenes), while XLA gathers natively and row-banding recovers the
+    early-exit win.  Lets ``render_pallas`` serve every scene family behind
+    one differentiable API.
+    """
+    from sdf3d_tpu.march import ambient_occlusion, soft_shadow
+
+    H, W = config.height, config.width
+    Hp = ((H + band_rows - 1) // band_rows) * band_rows
+    origins, directions = camera_rays(camera, W, H, config.ray_mode)
+    if Hp != H:
+        pad = ((0, Hp - H), (0, 0), (0, 0))
+        origins = jnp.pad(origins, pad, mode="edge")
+        directions = jnp.pad(directions, pad, mode="edge")
+    ob = origins.reshape(Hp // band_rows, band_rows, W, 3)
+    db = directions.reshape(Hp // band_rows, band_rows, W, 3)
+
+    def band(od):
+        o, d = od
+        t = sphere_trace(scene.distance, o, d, config.march)
+        p = o + t[..., None] * d
+        n = estimate_normals(scene.distance, p, config.normals, config.march.epsilon)
+        if config.shadow.enabled:
+            sh = soft_shadow(
+                scene.distance,
+                p + n * (2.0 * config.march.epsilon),
+                vnormalize(light.position - p),
+                config.shadow,
+                config.march,
+            )
+        else:
+            sh = jnp.ones_like(t)
+        ao = ambient_occlusion(scene.distance, p, n, config.ao) if config.ao.enabled else jnp.ones_like(t)
+        rgb = shade_pixels(scene, o, d, t, light, mat, config, shadow_override=sh, ao_override=ao)
+        return rgb, t, sh, ao
+
+    rgb, t, sh, ao = jax.lax.map(band, (ob, db))
+    return (
+        rgb.reshape(Hp, W, 3)[:H],
+        t.reshape(Hp, W)[:H],
+        sh.reshape(Hp, W)[:H],
+        ao.reshape(Hp, W)[:H],
+    )
+
+
 @partial(jax.jit, static_argnames=("config", "engine", "pc"))
 def render_batch(
     scene: SDFNode,

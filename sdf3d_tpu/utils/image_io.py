@@ -21,8 +21,13 @@ def to_uint8(img) -> np.ndarray:
     return (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
 
 
-def write_png(path, img) -> None:
-    """Write (H, W, 3) float or uint8 image as an 8-bit RGB PNG."""
+def encode_png(img, compress_level: int = 6) -> bytes:
+    """Encode (H, W, 3) float or uint8 image as 8-bit RGB PNG bytes.
+
+    Pure stdlib; ``compress_level=1`` is the streaming choice (the live
+    viewer re-encodes every frame — zlib level 6 costs more than the
+    render at small resolutions).
+    """
     arr = img if (isinstance(img, np.ndarray) and img.dtype == np.uint8) else to_uint8(img)
     h, w, c = arr.shape
     assert c == 3, f"expected RGB, got {c} channels"
@@ -33,13 +38,17 @@ def write_png(path, img) -> None:
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit truecolor
     raw = b"".join(b"\x00" + arr[row].tobytes() for row in range(h))  # filter 0 per row
-    png = (
+    return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IDAT", zlib.compress(raw, compress_level))
         + chunk(b"IEND", b"")
     )
-    pathlib.Path(path).write_bytes(png)
+
+
+def write_png(path, img) -> None:
+    """Write (H, W, 3) float or uint8 image as an 8-bit RGB PNG."""
+    pathlib.Path(path).write_bytes(encode_png(img))
 
 
 def write_ppm(path, img) -> None:
