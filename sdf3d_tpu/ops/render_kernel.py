@@ -53,7 +53,9 @@ _U_MAT_REF = 23   # material specular rgb (3)
 _U_SHN = 26       # shininess (1)
 _U_K = 27         # shadow sharpness k (1)
 _U_ROW0 = 28      # absolute row offset of this shard's slab (1; 0 unsharded)
-N_UNIFORMS = 29
+_U_ROWSTRIDE = 29  # absolute rows between successive tile rows (tile_h
+                   # contiguous; n_devices*tile_h for interleaved sharding)
+N_UNIFORMS = 30
 
 
 @dataclasses.dataclass(frozen=True)
@@ -113,6 +115,7 @@ def pack_uniforms(camera, light, mat, ray_mode: str = "reference") -> jnp.ndarra
             jnp.ravel(jnp.asarray(mat.shininess, jnp.float32)[None]),
             jnp.ravel(jnp.asarray(0.0, jnp.float32)[None]),  # shadow k, patched below
             jnp.ravel(jnp.asarray(0.0, jnp.float32)[None]),  # row0, patched when sharded
+            jnp.ravel(jnp.asarray(0.0, jnp.float32)[None]),  # row stride, patched per-kernel
         ]
     )
 
@@ -144,8 +147,10 @@ def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, soa_ra
 
     i = pl.program_id(0)
     j = pl.program_id(1)
-    # row0 shifts this device's slab to absolute image rows under sharding.
-    rows = uni[_U_ROW0] + (i * TH + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)).astype(f32)
+    # row0/rowstride map this tile to absolute image rows: contiguous slabs
+    # use stride == TH; interleaved row-block sharding strides tiles by
+    # n_devices*TH so each device sees a representative row mix.
+    rows = uni[_U_ROW0] + i.astype(f32) * uni[_U_ROWSTRIDE] + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0).astype(f32)
     cols = (j * TW + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1)).astype(f32)
     # NDC uses the *logical* W/H — padded tiles produce off-screen rays that
     # are cropped by the caller.
