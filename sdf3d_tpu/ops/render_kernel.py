@@ -436,6 +436,14 @@ def _render_kernel_call(scene_treedef, leaf_shapes, params, uniforms, cfg: Rende
     Hp, Wp = _round_up(H, TH), _round_up(W, TW)
     grid = (Hp // TH, Wp // TW)
 
+    # Row stride between successive tile rows: TH for contiguous layouts
+    # (the default — pack_uniforms leaves the slot 0); interleaved row-block
+    # sharding pre-sets it to n_devices*TH (parallel/shard_render.py).
+    stride = jnp.where(
+        uniforms[_U_ROWSTRIDE] > 0.0, uniforms[_U_ROWSTRIDE], jnp.float32(TH)
+    )
+    uniforms = uniforms.at[_U_ROWSTRIDE].set(stride)
+
     kernel = functools.partial(
         _render_tile_kernel, soa=soa, soa_ray=soa_ray, n_params=int(params.shape[0]), cfg=cfg, pc=pc
     )
