@@ -32,6 +32,7 @@ from sdf3d_tpu.ops.render_kernel import (
     PallasRenderConfig,
     _U_K,
     _U_ROW0,
+    _U_ROWSTRIDE,
     _render_kernel_call,
     pack_uniforms,
 )
@@ -85,7 +86,9 @@ def render_sharded(
     return shard_fn(scene, origins, directions, light, mat)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "pc", "mesh"))
+@functools.partial(
+    jax.jit, static_argnames=("config", "pc", "mesh", "interleaved", "planar")
+)
 def render_pallas_sharded(
     scene: SDFNode,
     camera: Camera,
@@ -94,15 +97,38 @@ def render_pallas_sharded(
     config: RenderConfig,
     mesh: Mesh,
     pc: PallasRenderConfig = PallasRenderConfig(),
+    interleaved: bool = False,
+    planar: bool = False,
 ) -> jnp.ndarray:
     """Fused-kernel sharded render: each device runs the Pallas kernel on its
-    row slab (the ``row0`` uniform shifts ray generation to absolute rows).
+    share of image rows.  Returns ``(H, W, 3)`` (kernel-native ``(3, H, W)``
+    when ``planar=True``).
+
+    ``interleaved=False`` (default): device ``d`` renders the contiguous row
+    slab ``[d·H/n, (d+1)·H/n)`` — zero data movement, but slabs see very
+    different march depths (a sky slab finishes in a handful of steps while
+    an object slab runs deep), so scaling efficiency is gated by the slowest
+    slab.
+
+    ``interleaved=True``: device ``d`` renders tile-height row *blocks*
+    strided by the mesh size — absolute rows ``d·TH + b·(n·TH) + r`` — so
+    every device sees a representative mix of sky/ground/object rays (the
+    load-balance mitigation from docs/performance.md §Scaling).  The kernel
+    maps blocks to absolute rows via the row0/rowstride uniforms; the
+    gathered image's rows are un-permuted host-free with one reshape/
+    transpose.  Requires ``H % (n · pc.tile_h) == 0``.
     """
     n = mesh.shape[tile_axis]
     slab = _row_slab(config, n)
+    th = pc.tile_h
+    if interleaved and slab % th != 0:
+        raise ValueError(
+            f"interleaved sharding needs height divisible by n_devices*tile_h "
+            f"({config.height} % {n * th} != 0)"
+        )
     import dataclasses as _dc
 
-    # Each device emits a slab of rows mapped through the full-image NDC.
+    # Each device emits `slab` rows mapped through the full-image NDC.
     shard_cfg = _dc.replace(config, height=slab, ndc_height=config.height)
     params = scene_param_vector(scene)
     uniforms = pack_uniforms(camera, light, mat, config.ray_mode)
@@ -114,17 +140,31 @@ def render_pallas_sharded(
         shard_map,
         mesh=mesh,
         in_specs=(_REPLICATED, _REPLICATED),
-        out_specs=P(tile_axis, None, None),
+        out_specs=P(None, tile_axis, None),  # planar (3, rows, W): rows sharded
     )
     def shard_fn(params_, uniforms_):
-        row0 = (jax.lax.axis_index(tile_axis) * slab).astype(jnp.float32)
+        idx = jax.lax.axis_index(tile_axis)
+        if interleaved:
+            row0 = (idx * th).astype(jnp.float32)
+            uniforms_ = uniforms_.at[_U_ROWSTRIDE].set(jnp.float32(n * th))
+        else:
+            row0 = (idx * slab).astype(jnp.float32)
         uniforms_ = uniforms_.at[_U_ROW0].set(row0)
         rgb, _, _, _ = _render_kernel_call(
             treedef, leaf_shapes, params_, uniforms_, shard_cfg, pc
         )
         return rgb
 
-    return shard_fn(params, uniforms)
+    out = shard_fn(params, uniforms)  # (3, H, W); interleaved rows permuted
+    if interleaved:
+        # Gathered row g = d·slab + i·TH + r holds absolute row
+        # i·(n·TH) + d·TH + r: swap the (device, block) axes back.
+        blocks = slab // th
+        out = out.reshape(3, n, blocks, th, config.width)
+        out = jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(
+            3, config.height, config.width
+        )
+    return out if planar else jnp.transpose(out, (1, 2, 0))
 
 
 def loss_and_grad_sharded(

@@ -43,6 +43,29 @@ class TestShardedRender:
         )
         np.testing.assert_allclose(a, b, atol=1e-4)
 
+    def test_pallas_interleaved_matches_contiguous(self, mesh8):
+        """Interleaved row-block sharding is a pure layout change: the
+        un-permuted image must equal the contiguous-slab one bitwise."""
+        pc = PallasRenderConfig(tile_h=8, tile_w=128, interpret=True)
+        cfg = dataclasses.replace(CFG, height=128)  # 128 % (8 devs * 8 rows) == 0
+        a = np.asarray(
+            render_pallas_sharded(s.flagship_scene(), CAM, LIGHT, MAT, cfg, mesh8, pc)
+        )
+        b = np.asarray(
+            render_pallas_sharded(
+                s.flagship_scene(), CAM, LIGHT, MAT, cfg, mesh8, pc, interleaved=True
+            )
+        )
+        np.testing.assert_array_equal(a, b)
+
+    def test_pallas_interleaved_indivisible_raises(self, mesh8):
+        pc = PallasRenderConfig(tile_h=8, tile_w=128, interpret=True)
+        cfg = dataclasses.replace(CFG, height=96)  # 96 % 64 != 0
+        with pytest.raises(ValueError, match="interleaved"):
+            render_pallas_sharded(
+                s.reference_scene(), CAM, LIGHT, MAT, cfg, mesh8, pc, interleaved=True
+            )
+
     def test_mesh_size_sweep(self):
         """Sharded output is invariant to the mesh size (1, 2, 4 devices)."""
         base = np.asarray(s.render(s.flagship_scene(), CAM, LIGHT, MAT, CFG))
