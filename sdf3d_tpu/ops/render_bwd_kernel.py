@@ -60,7 +60,7 @@ from sdf3d_tpu.ops.render_kernel import (
 from sdf3d_tpu.ops.scene_program import compile_scene
 
 
-def _shade_tile(pv, uv, gpos, t0, shadow_in, ao_in, *, soa, cfg: RenderConfig, pc: PallasRenderConfig):
+def _shade_tile(pv, uv, gpos, t0, shadow_in, ao_in, *, soa, mat_soa, cfg: RenderConfig, pc: PallasRenderConfig):
     """The planar shading expression for one tile, as a function of the
     scalar parameter list ``pv`` and uniform list ``uv`` (the differentiable
     inputs).  Mirrors ops/render_pallas._planar_shade stage for stage.
@@ -161,17 +161,26 @@ def _shade_tile(pv, uv, gpos, t0, shadow_in, ao_in, *, soa, cfg: RenderConfig, p
     hwx, hwy, hwz = hwx * hwinv, hwy * hwinv, hwz * hwinv
 
     ndoth = jnp.maximum(nx * hwx + ny * hwy + nz * hwz, 0.0)
-    spec = jnp.power(ndoth, uv[_U_SHN])
     dif = jnp.clip(nx * ix + ny * iy + nz * iz, 0.0, 1.0) * shadow
     amb_scale = uv[_U_AMB] * ao if cfg.ao.enabled else uv[_U_AMB] + jnp.zeros_like(dif)
 
+    # Material channels (kernel parity): per-lane when the scene carries
+    # Shaded tags, so material-parameter gradients flow through the vjp of
+    # the selects/lerps exactly like shape parameters.
+    mch = (
+        uv[_U_MAT_AMB], uv[_U_MAT_AMB + 1], uv[_U_MAT_AMB + 2],
+        uv[_U_MAT_DIF], uv[_U_MAT_DIF + 1], uv[_U_MAT_DIF + 2],
+        uv[_U_MAT_REF], uv[_U_MAT_REF + 1], uv[_U_MAT_REF + 2],
+        uv[_U_SHN],
+    )
+    if mat_soa is not None:
+        _, mch = mat_soa(hx, hy, hz, getp, mch)
+    spec = jnp.power(ndoth, mch[9])
+
     if cfg.shading == "blinn_phong":
-        chans = [
-            amb_scale * uv[_U_MAT_AMB + c] + dif * uv[_U_MAT_DIF + c] + spec * uv[_U_MAT_REF + c]
-            for c in range(3)
-        ]
+        chans = [amb_scale * mch[c] + dif * mch[3 + c] + spec * mch[6 + c] for c in range(3)]
     elif cfg.shading == "lambert":
-        chans = [amb_scale * uv[_U_MAT_AMB + c] + dif * uv[_U_MAT_DIF + c] for c in range(3)]
+        chans = [amb_scale * mch[c] + dif * mch[3 + c] for c in range(3)]
     else:  # pragma: no cover
         raise ValueError(f"unknown shading mode {cfg.shading!r}")
 
@@ -182,7 +191,7 @@ def _shade_tile(pv, uv, gpos, t0, shadow_in, ao_in, *, soa, cfg: RenderConfig, p
 
 
 def _bwd_tile_kernel(
-    uni, prm, gr, gg, gb, t_in, sh_in, ao_in, grads_ref, *, soa, n_params, cfg: RenderConfig, pc: PallasRenderConfig
+    uni, prm, gr, gg, gb, t_in, sh_in, ao_in, grads_ref, *, soa, mat_soa, n_params, cfg: RenderConfig, pc: PallasRenderConfig
 ):
     """Kernel body: vjp of the tile shading expression w.r.t. scalar params
     and uniforms; writes the (P + N_UNIFORMS,) partial-sum vector to SMEM."""
@@ -199,7 +208,7 @@ def _bwd_tile_kernel(
     shp = sh_in[:, :]
     aop = ao_in[:, :]
 
-    fn = functools.partial(_shade_tile, gpos=(rows, cols), t0=t0, shadow_in=shp, ao_in=aop, soa=soa, cfg=cfg, pc=pc)
+    fn = functools.partial(_shade_tile, gpos=(rows, cols), t0=t0, shadow_in=shp, ao_in=aop, soa=soa, mat_soa=mat_soa, cfg=cfg, pc=pc)
     _, pullback = jax.vjp(fn, pv, uv)
     d_pv, d_uv = pullback((gr[:, :], gg[:, :], gb[:, :]))
     # Scatter the scalar grads into an (8, 128) plane via compile-time
@@ -230,6 +239,10 @@ def render_kernel_backward(
     dummies = [jnp.zeros(shape, jnp.float32) for shape in leaf_shapes]
     scene = jax.tree_util.tree_unflatten(scene_treedef, dummies)
     soa = compile_scene(scene)
+    from sdf3d_tpu.ops.scene_program import compile_scene_material
+    from sdf3d_tpu.sdf.materials import scene_has_materials
+
+    mat_soa = compile_scene_material(scene) if scene_has_materials(scene) else None
     H, W = cfg.height, cfg.width
     TH, TW = pc.tile_h, pc.tile_w
     Hp, Wp = _round_up(H, TH), _round_up(W, TW)
@@ -248,7 +261,7 @@ def render_kernel_backward(
     if G > 8 * 128:
         raise ValueError(f"scene has {P} params; fused backward supports up to {8 * 128 - N_UNIFORMS}")
 
-    kernel = functools.partial(_bwd_tile_kernel, soa=soa, n_params=P, cfg=cfg, pc=pc)
+    kernel = functools.partial(_bwd_tile_kernel, soa=soa, mat_soa=mat_soa, n_params=P, cfg=cfg, pc=pc)
     plane = lambda: pl.BlockSpec((TH, TW), lambda i, j: (i, j), memory_space=pltpu.VMEM)
     partials = pl.pallas_call(
         kernel,

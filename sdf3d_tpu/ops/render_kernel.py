@@ -38,7 +38,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sdf3d_tpu.config import RenderConfig
-from sdf3d_tpu.ops.scene_program import compile_scene, compile_scene_ray, scene_param_vector
+from sdf3d_tpu.ops.scene_program import (
+    compile_scene,
+    compile_scene_material,
+    compile_scene_ray,
+    scene_param_vector,
+)
 from sdf3d_tpu.sdf.node import SDFNode
 
 # Uniform vector layout (indices into the (28,) SMEM vector).
@@ -124,7 +129,7 @@ def _rsqrt(x):
     return jax.lax.rsqrt(x)
 
 
-def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, soa_ray, n_params, cfg: RenderConfig, pc: PallasRenderConfig):
+def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, soa_ray, mat_soa, n_params, cfg: RenderConfig, pc: PallasRenderConfig):
     """Kernel body. ``soa(px,py,pz,getp)`` is the compiled scene program."""
     TH, TW = pc.tile_h, pc.tile_w
     # NDC spans the logical image; under sharding a slab emits cfg.height rows
@@ -384,18 +389,30 @@ def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, soa_ra
     hwx, hwy, hwz = hwx * hwinv, hwy * hwinv, hwz * hwinv
 
     ndoth = jnp.maximum(nx * hwx + ny * hwy + nz * hwz, 0.0)
-    spec = jnp.power(ndoth, uni[_U_SHN])
     dif = jnp.clip(ndoti, 0.0, 1.0) * shadow
+
+    # Material channels: 10 uniform scalars normally; with Shaded tags in the
+    # scene the material program resolves per-lane channels at the hit point
+    # (one extra scene traversal of selects/FMAs — ops/scene_program.py).
+    mch = (
+        uni[_U_MAT_AMB], uni[_U_MAT_AMB + 1], uni[_U_MAT_AMB + 2],
+        uni[_U_MAT_DIF], uni[_U_MAT_DIF + 1], uni[_U_MAT_DIF + 2],
+        uni[_U_MAT_REF], uni[_U_MAT_REF + 1], uni[_U_MAT_REF + 2],
+        uni[_U_SHN],
+    )
+    if mat_soa is not None:
+        _, mch = mat_soa(hx, hy, hz, getp, mch)
+    spec = jnp.power(ndoth, mch[9])
 
     amb_scale = uni[_U_AMB] * ao if cfg.ao.enabled else uni[_U_AMB]
     if cfg.shading == "blinn_phong":
-        r = amb_scale * uni[_U_MAT_AMB] + dif * uni[_U_MAT_DIF] + spec * uni[_U_MAT_REF]
-        g = amb_scale * uni[_U_MAT_AMB + 1] + dif * uni[_U_MAT_DIF + 1] + spec * uni[_U_MAT_REF + 1]
-        b = amb_scale * uni[_U_MAT_AMB + 2] + dif * uni[_U_MAT_DIF + 2] + spec * uni[_U_MAT_REF + 2]
+        r = amb_scale * mch[0] + dif * mch[3] + spec * mch[6]
+        g = amb_scale * mch[1] + dif * mch[4] + spec * mch[7]
+        b = amb_scale * mch[2] + dif * mch[5] + spec * mch[8]
     elif cfg.shading == "lambert":
-        r = amb_scale * uni[_U_MAT_AMB] + dif * uni[_U_MAT_DIF]
-        g = amb_scale * uni[_U_MAT_AMB + 1] + dif * uni[_U_MAT_DIF + 1]
-        b = amb_scale * uni[_U_MAT_AMB + 2] + dif * uni[_U_MAT_DIF + 2]
+        r = amb_scale * mch[0] + dif * mch[3]
+        g = amb_scale * mch[1] + dif * mch[4]
+        b = amb_scale * mch[2] + dif * mch[5]
     else:  # pragma: no cover
         raise ValueError(f"unknown shading mode {cfg.shading!r}")
 
@@ -431,6 +448,9 @@ def _render_kernel_call(scene_treedef, leaf_shapes, params, uniforms, cfg: Rende
     scene = jax.tree_util.tree_unflatten(scene_treedef, dummies)
     soa = compile_scene(scene)
     soa_ray = compile_scene_ray(scene) if pc.ray_sdf else None
+    from sdf3d_tpu.sdf.materials import scene_has_materials
+
+    mat_soa = compile_scene_material(scene) if scene_has_materials(scene) else None
     H, W = cfg.height, cfg.width
     TH, TW = pc.tile_h, pc.tile_w
     Hp, Wp = _round_up(H, TH), _round_up(W, TW)
@@ -445,7 +465,8 @@ def _render_kernel_call(scene_treedef, leaf_shapes, params, uniforms, cfg: Rende
     uniforms = uniforms.at[_U_ROWSTRIDE].set(stride)
 
     kernel = functools.partial(
-        _render_tile_kernel, soa=soa, soa_ray=soa_ray, n_params=int(params.shape[0]), cfg=cfg, pc=pc
+        _render_tile_kernel, soa=soa, soa_ray=soa_ray, mat_soa=mat_soa,
+        n_params=int(params.shape[0]), cfg=cfg, pc=pc,
     )
     # Worst-case per-ray SDF evals: march + 4-6 normal taps + shadow + AO.
     n_taps = cfg.march.max_steps + 6 + (cfg.shadow.max_steps if cfg.shadow.enabled else 0) + (

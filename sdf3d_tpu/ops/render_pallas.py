@@ -238,14 +238,30 @@ def _planar_shade(cfg, scene, camera, light, mat, t, shadow, ao):
     hwx, hwy, hwz = hwx * hwinv, hwy * hwinv, hwz * hwinv
 
     ndoth = jnp.maximum(nx * hwx + ny * hwy + nz * hwz, 0.0)
-    spec = jnp.power(ndoth, mat.shininess)
     dif = jnp.clip(nx * ix + ny * iy + nz * iz, 0.0, 1.0) * shadow
     amb_scale = light.ambient * ao if cfg.ao.enabled else light.ambient * jnp.ones_like(dif)
 
+    # Per-object materials (Shaded tags): resolve per-pixel channels at the
+    # hit point so material gradients flow; otherwise the global scalars.
+    from sdf3d_tpu.sdf.materials import material_at, scene_has_materials
+
+    if scene_has_materials(scene):
+        _m = material_at(scene, jnp.stack([hx, hy, hz], axis=-1), mat)
+        m_amb = [_m.ambient[..., c] for c in range(3)]
+        m_dif = [_m.diffuse[..., c] for c in range(3)]
+        m_spec = [_m.specular[..., c] for c in range(3)]
+        shn = _m.shininess
+    else:
+        m_amb = [mat.ambient[c] for c in range(3)]
+        m_dif = [mat.diffuse[c] for c in range(3)]
+        m_spec = [mat.specular[c] for c in range(3)]
+        shn = mat.shininess
+    spec = jnp.power(ndoth, shn)
+
     if cfg.shading == "blinn_phong":
-        chans = [amb_scale * mat.ambient[c] + dif * mat.diffuse[c] + spec * mat.specular[c] for c in range(3)]
+        chans = [amb_scale * m_amb[c] + dif * m_dif[c] + spec * m_spec[c] for c in range(3)]
     elif cfg.shading == "lambert":
-        chans = [amb_scale * mat.ambient[c] + dif * mat.diffuse[c] for c in range(3)]
+        chans = [amb_scale * m_amb[c] + dif * m_dif[c] for c in range(3)]
     else:
         raise ValueError(f"unknown shading mode {cfg.shading!r}")
 

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sdf3d_tpu.sdf import csg, primitives, transforms
+from sdf3d_tpu.sdf import csg, materials, primitives, transforms
 from sdf3d_tpu.sdf.node import SDFNode
 
 # getp(i) -> scalar parameter i;  emit(px,py,pz,getp) -> distance plane.
@@ -192,17 +192,16 @@ def _translate(n, px, py, pz, getp, off):
     return _emit(n.child, px - ox, py - oy, pz - oz, getp, off)
 
 
-def _rotate(n, px, py, pz, getp, off):
-    nc = count_params(n.child)
-    wx, wy, wz = getp(off + nc), getp(off + nc + 1), getp(off + nc + 2)
-    # Rodrigues on scalars (series-safe near 0, matching transforms.py).
+def _rodrigues_scalars(wx, wy, wz):
+    """Rodrigues rotation matrix entries on scalars (series-safe near 0,
+    matching transforms.py); returns the 9 entries of R row-major."""
     t2 = wx * wx + wy * wy + wz * wz
     small = t2 < 1e-8
     safe2 = jnp.where(small, 1.0, t2)
     theta = jnp.sqrt(safe2)
     sinc = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(theta) / theta)
     cosc = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(theta)) / safe2)
-    # R = I + sinc*K + cosc*K²; rotate the query by R⁻¹ = Rᵀ.
+    # R = I + sinc*K + cosc*K².
     r00 = 1.0 + cosc * (-(wy * wy + wz * wz))
     r01 = -sinc * wz + cosc * (wx * wy)
     r02 = sinc * wy + cosc * (wx * wz)
@@ -212,10 +211,22 @@ def _rotate(n, px, py, pz, getp, off):
     r20 = -sinc * wy + cosc * (wx * wz)
     r21 = sinc * wx + cosc * (wy * wz)
     r22 = 1.0 + cosc * (-(wx * wx + wy * wy))
-    # Rᵀ p: row i of Rᵀ is column i of R.
+    return r00, r01, r02, r10, r11, r12, r20, r21, r22
+
+
+def _rotate_query(px, py, pz, r):
+    """Apply R⁻¹ = Rᵀ to the query point (row i of Rᵀ is column i of R)."""
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = r
     qx = r00 * px + r10 * py + r20 * pz
     qy = r01 * px + r11 * py + r21 * pz
     qz = r02 * px + r12 * py + r22 * pz
+    return qx, qy, qz
+
+
+def _rotate(n, px, py, pz, getp, off):
+    nc = count_params(n.child)
+    wx, wy, wz = getp(off + nc), getp(off + nc + 1), getp(off + nc + 2)
+    qx, qy, qz = _rotate_query(px, py, pz, _rodrigues_scalars(wx, wy, wz))
     return _emit(n.child, qx, qy, qz, getp, off)
 
 
@@ -257,7 +268,19 @@ def _repeat(n, px, py, pz, getp, off):
     return _emit(n.child, qx, qy, qz, getp, off)
 
 
+def _shaded(n, px, py, pz, getp, off):
+    # Distance-transparent: child params sit at off; the 10 material params
+    # (ambient/diffuse/specular rgb + shininess) follow and are consumed only
+    # by the material program (compile_scene_material).
+    return _emit(n.child, px, py, pz, getp, off)
+
+
+def _ray_shaded(n, ox, oy, oz, dx, dy, dz, getp, off):
+    return _ray_emit(n.child, ox, oy, oz, dx, dy, dz, getp, off)
+
+
 _HANDLERS = {
+    materials.Shaded: _shaded,
     primitives.Sphere: _sphere,
     primitives.Plane: _plane,
     primitives.Box: _box,
@@ -497,31 +520,9 @@ def _ray_translate(n, ox, oy, oz, dx, dy, dz, getp, off):
 def _ray_rotate(n, ox, oy, oz, dx, dy, dz, getp, off):
     nc = count_params(n.child)
     wx, wy, wz = getp(off + nc), getp(off + nc + 1), getp(off + nc + 2)
-    t2 = wx * wx + wy * wy + wz * wz
-    small = t2 < 1e-8
-    safe2 = jnp.where(small, 1.0, t2)
-    theta = jnp.sqrt(safe2)
-    sinc = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(theta) / theta)
-    cosc = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(theta)) / safe2)
-    r00 = 1.0 + cosc * (-(wy * wy + wz * wz))
-    r01 = -sinc * wz + cosc * (wx * wy)
-    r02 = sinc * wy + cosc * (wx * wz)
-    r10 = sinc * wz + cosc * (wx * wy)
-    r11 = 1.0 + cosc * (-(wx * wx + wz * wz))
-    r12 = -sinc * wx + cosc * (wy * wz)
-    r20 = -sinc * wy + cosc * (wx * wz)
-    r21 = sinc * wx + cosc * (wy * wz)
-    r22 = 1.0 + cosc * (-(wx * wx + wy * wy))
-
-    def rot_t(px, py, pz):
-        return (
-            r00 * px + r10 * py + r20 * pz,
-            r01 * px + r11 * py + r21 * pz,
-            r02 * px + r12 * py + r22 * pz,
-        )
-
-    qox, qoy, qoz = rot_t(ox, oy, oz)
-    qdx, qdy, qdz = rot_t(dx, dy, dz)
+    r = _rodrigues_scalars(wx, wy, wz)
+    qox, qoy, qoz = _rotate_query(ox, oy, oz, r)
+    qdx, qdy, qdz = _rotate_query(dx, dy, dz, r)
     return _ray_emit(n.child, qox, qoy, qoz, qdx, qdy, qdz, getp, off)
 
 
@@ -547,6 +548,7 @@ def _ray_onion(n, ox, oy, oz, dx, dy, dz, getp, off):
 
 
 _RAY_HANDLERS = {
+    materials.Shaded: _ray_shaded,
     primitives.Sphere: _ray_sphere,
     primitives.Plane: _ray_plane,
     primitives.Box: _ray_box,
@@ -592,3 +594,122 @@ def compile_scene_ray(scene: SDFNode):
         return _ray_emit(scene, o[0], o[1], o[2], d[0], d[1], d[2], getp, 0)
 
     return setup
+
+
+# ---------------------------------------------------------------------------
+# Material program: SoA fold resolving the per-lane material channels.
+#
+# Mirrors sdf/materials.py::_fold in scene-program form: 10 channels
+# (ambient rgb, diffuse rgb, specular rgb, shininess) carried as
+# scalars-or-planes next to the distance.  Hard CSG selects the winning
+# side's channels, smooth CSG lerps them with the same ``h`` weight the
+# smooth-min applies to distances, subtraction keeps ``a``'s material.
+# Pure vector selects/FMAs — Mosaic-friendly; evaluated ONCE per ray at the
+# hit point (the marches never touch it).
+# ---------------------------------------------------------------------------
+
+N_MAT_CHANNELS = 10  # amb rgb, dif rgb, spec rgb, shininess
+
+
+def _mat_select(cond, ca, cb):
+    return tuple(jnp.where(cond, a, b) for a, b in zip(ca, cb))
+
+
+def _mat_lerp(h, ca, cb):
+    return tuple(b + (a - b) * h for a, b in zip(ca, cb))
+
+
+def _emit_mat(node, px, py, pz, getp: GetP, off: int, default):
+    """Return ``(distance, channels)``; ``default`` is the 10-channel tuple
+    used for untagged subtrees (the render call's global material)."""
+    if not materials.scene_has_materials(node):
+        return _emit(node, px, py, pz, getp, off), default
+
+    t = type(node)
+    if t is materials.Shaded:
+        nc = count_params(node.child)
+        own = tuple(getp(off + nc + i) for i in range(N_MAT_CHANNELS))
+        return _emit_mat(node.child, px, py, pz, getp, off, own)
+
+    if t is csg.Union:
+        da, ca = _emit_mat(node.a, px, py, pz, getp, off, default)
+        db, cb = _emit_mat(node.b, px, py, pz, getp, off + count_params(node.a), default)
+        return jnp.minimum(da, db), _mat_select(da <= db, ca, cb)
+    if t is csg.Intersection:
+        da, ca = _emit_mat(node.a, px, py, pz, getp, off, default)
+        db, cb = _emit_mat(node.b, px, py, pz, getp, off + count_params(node.a), default)
+        return jnp.maximum(da, db), _mat_select(da >= db, ca, cb)
+    if t is csg.Subtraction:
+        da, ca = _emit_mat(node.a, px, py, pz, getp, off, default)
+        db = _emit(node.b, px, py, pz, getp, off + count_params(node.a))
+        return jnp.maximum(da, -db), ca
+    if t in (csg.SmoothUnion, csg.SmoothIntersection, csg.SmoothSubtraction):
+        na, nb = count_params(node.a), count_params(node.b)
+        sign = +1.0 if t is csg.SmoothUnion else -1.0
+        da, ca = _emit_mat(node.a, px, py, pz, getp, off, default)
+        if t is csg.SmoothSubtraction:
+            db = -_emit(node.b, px, py, pz, getp, off + na)
+            cb = ca  # the carve reveals a's interior
+        else:
+            db, cb = _emit_mat(node.b, px, py, pz, getp, off + na, default)
+        k = jnp.maximum(getp(off + na + nb), 1e-6)
+        h = jnp.clip(0.5 + 0.5 * sign * (db - da) / k, 0.0, 1.0)
+        return _smooth_mix(da, db, k, sign), _mat_lerp(h, ca, cb)
+
+    if t is transforms.Translate:
+        nc = count_params(node.child)
+        ox_, oy_, oz_ = getp(off + nc), getp(off + nc + 1), getp(off + nc + 2)
+        return _emit_mat(node.child, px - ox_, py - oy_, pz - oz_, getp, off, default)
+    if t is transforms.Rotate:
+        nc = count_params(node.child)
+        wx, wy, wz = getp(off + nc), getp(off + nc + 1), getp(off + nc + 2)
+        qx, qy, qz = _rotate_query(px, py, pz, _rodrigues_scalars(wx, wy, wz))
+        return _emit_mat(node.child, qx, qy, qz, getp, off, default)
+    if t is transforms.Scale:
+        nc = count_params(node.child)
+        s = jnp.maximum(getp(off + nc), 1e-12)
+        d, ch = _emit_mat(node.child, px / s, py / s, pz / s, getp, off, default)
+        return d * s, ch
+    if t is transforms.Round:
+        nc = count_params(node.child)
+        d, ch = _emit_mat(node.child, px, py, pz, getp, off, default)
+        return d - getp(off + nc), ch
+    if t is transforms.Onion:
+        nc = count_params(node.child)
+        d, ch = _emit_mat(node.child, px, py, pz, getp, off, default)
+        return jnp.abs(d) - getp(off + nc), ch
+    if t is transforms.Elongate:
+        nc = count_params(node.child)
+        ax, ay, az = getp(off + nc), getp(off + nc + 1), getp(off + nc + 2)
+        qx = px - jnp.clip(px, -ax, ax)
+        qy = py - jnp.clip(py, -ay, ay)
+        qz = pz - jnp.clip(pz, -az, az)
+        return _emit_mat(node.child, qx, qy, qz, getp, off, default)
+    if t is transforms.RepeatInfinite:
+        nc = count_params(node.child)
+
+        def fold(p, period):
+            safe = jnp.where(period > 0.0, period, 1.0)
+            return jnp.where(period > 0.0, p - period * jnp.round(p / safe), p)
+
+        qx = fold(px, getp(off + nc))
+        qy = fold(py, getp(off + nc + 1))
+        qz = fold(pz, getp(off + nc + 2))
+        return _emit_mat(node.child, qx, qy, qz, getp, off, default)
+
+    raise TypeError(
+        f"no material emitter for scene node {t.__name__}; register one in "
+        "sdf3d_tpu/ops/scene_program.py::_emit_mat"
+    )
+
+
+def compile_scene_material(scene: SDFNode):
+    """Stage the scene into ``mat_fn(px, py, pz, getp, default) ->
+    (distance, 10-channel tuple)`` — the per-lane material resolver evaluated
+    once at the hit point.  ``default`` supplies the untagged-subtree
+    channels (the uniform material inside the kernel)."""
+
+    def mat_fn(px, py, pz, getp: GetP, default):
+        return _emit_mat(scene, px, py, pz, getp, 0, default)
+
+    return mat_fn

@@ -62,6 +62,15 @@ def shade_pixels(
     p = origins + distances[..., None] * directions
     n = estimate_normals(sdf_fn, p, config.normals, config.march.epsilon)
 
+    # Per-object materials: Shaded tags in the tree resolve each hit point's
+    # material (hard ops select, smooth ops blend; sdf/materials.py); the
+    # call's `mat` becomes the default for untagged subtrees.  Scenes without
+    # tags skip this entirely (bit-exact with the single-material path).
+    from sdf3d_tpu.sdf.materials import material_at, scene_has_materials
+
+    if scene_has_materials(scene):
+        mat = material_at(scene, p, mat)
+
     if shadow_override is not None:
         shadow = shadow_override
     elif config.shadow.enabled:

@@ -35,6 +35,7 @@ from sdf3d_tpu.sdf.csg import (
     union,
 )
 from sdf3d_tpu.sdf.grid import VoxelGrid, voxel_grid, voxelize
+from sdf3d_tpu.sdf.materials import Shaded, material_at, scene_has_materials, shaded
 from sdf3d_tpu.sdf.neural import NeuralSDF, distill, neural_sdf
 from sdf3d_tpu.sdf.transforms import (
     Elongate,
@@ -71,6 +72,8 @@ __all__ = [
     "rotvec_to_matrix", "round_edges", "scale", "translate",
     # voxel grid
     "VoxelGrid", "voxel_grid", "voxelize",
+    # per-object materials
+    "Shaded", "shaded", "material_at", "scene_has_materials",
     # neural
     "NeuralSDF", "distill", "neural_sdf",
 ]
