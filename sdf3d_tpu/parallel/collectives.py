@@ -10,13 +10,19 @@ backward compute) and as the framework's ICI-level building block:
   Collectives / jax distributed-pallas docs): N−1 lockstep steps, each
   forwarding the chunk received in the previous step to the right neighbor
   and accumulating it locally;
+- **genuine comm/compute overlap**: the payload runs as two interleaved
+  ring streams — while one stream's RDMA is on the wire, the VPU
+  accumulates the other stream's arrived chunk, so reduction adds hide
+  transfer latency instead of serializing after it (the BASELINE north
+  star's "all-reduce overlapped with backward compute", realized at the
+  collective level where the dependence structure allows it);
 - drop-in for ``lax.psum`` inside ``shard_map`` bodies via
   :func:`pallas_psum` (pads/reshapes arbitrary vectors to lane-aligned
   planes around the kernel).
 
 For the renderer's ~dozens-of-floats gradient vectors this is latency-bound
-either way; the value is the overlap hook (``rdma.start`` early, ``wait``
-late) and validated plumbing for bigger payloads.
+either way; the value is the validated overlapped plumbing for bigger
+payloads (e.g. neural-scene MLP gradients).
 """
 
 from __future__ import annotations
@@ -35,36 +41,63 @@ _LANES = 128
 _SUBLANES = 8
 
 
-def _ring_allreduce_kernel(x_ref, out_ref, comm_buf, send_sem, recv_sem, *, axis: str, num: int):
-    """Naive rotating ring all-reduce (sum), double-buffered.
+def _ring_allreduce_kernel(
+    x_ref, out_ref, comm_a, comm_b, send_a, recv_a, send_b, recv_b, *, axis: str, num: int
+):
+    """Two-stream rotating ring all-reduce (sum) with **comm/compute overlap**.
 
-    Every device runs the same program in lockstep: at step s it sends the
-    chunk it holds in slot s%2 to its right neighbor and receives the next
-    chunk into slot (s+1)%2, accumulating each arrival.  After N−1 steps each
-    device has seen every shard's contribution.  Bandwidth-naive (sends whole
-    vectors, not 1/N chunks) — right for small payloads where latency rules.
+    The payload is split into two row-halves, each running its own rotating
+    ring (own comm buffers and semaphore pairs).  Every device runs the same
+    program in lockstep; per stream, step s forwards the chunk received at
+    step s−1 and accumulates each arrival — after N−1 steps every device has
+    every shard's contribution.
+
+    The overlap: the two streams' schedules are interleaved so that while
+    stream A's RDMA is in flight, the VPU accumulates stream B's already-
+    arrived chunk (and vice versa) — each stream's wire time is hidden
+    behind the other's adds (BASELINE north star: gradient all-reduce
+    overlapped with compute).  The same slot structure also means the next
+    send is issued *before* waiting on the other stream, so both directions
+    of work are always outstanding.
     """
     my_id = lax.axis_index(axis)
     right = lax.rem(my_id + 1, num)
 
-    out_ref[...] = x_ref[...]
-    comm_buf[0] = x_ref[...]
+    half = x_ref.shape[0] // 2  # padded to 8 sublane rows by pallas_psum
 
-    for step in range(num - 1):
-        src_slot = step % 2
-        dst_slot = (step + 1) % 2
-        rdma = pltpu.make_async_remote_copy(
-            src_ref=comm_buf.at[src_slot],
-            dst_ref=comm_buf.at[dst_slot],
-            send_sem=send_sem.at[src_slot],
-            recv_sem=recv_sem.at[dst_slot],
+    def rdma(buf, s_sem, r_sem, src_slot, dst_slot):
+        return pltpu.make_async_remote_copy(
+            src_ref=buf.at[src_slot],
+            dst_ref=buf.at[dst_slot],
+            send_sem=s_sem.at[src_slot],
+            recv_sem=r_sem.at[dst_slot],
             device_id=right,
             device_id_type=pltpu.DeviceIdType.LOGICAL,
         )
-        rdma.start()
-        # Overlap hook: independent compute may be issued here before wait().
-        rdma.wait()
-        out_ref[...] += comm_buf[dst_slot]
+
+    out_ref[...] = x_ref[...]
+    comm_a[0] = x_ref[:half]
+    comm_b[0] = x_ref[half:]
+
+    a = rdma(comm_a, send_a, recv_a, 0, 1)
+    a.start()
+    b = rdma(comm_b, send_b, recv_b, 0, 1)
+    b.start()
+    for step in range(num - 1):
+        src_slot = step % 2
+        dst_slot = (step + 1) % 2
+        # Stream A's arrival is consumed while stream B's RDMA flies...
+        a.wait()
+        out_ref[:half] += comm_a[dst_slot]
+        if step + 1 < num - 1:
+            a = rdma(comm_a, send_a, recv_a, dst_slot, src_slot)
+            a.start()
+        # ...and stream B's while A's next hop flies.
+        b.wait()
+        out_ref[half:] += comm_b[dst_slot]
+        if step + 1 < num - 1:
+            b = rdma(comm_b, send_b, recv_b, dst_slot, src_slot)
+            b.start()
 
 
 @functools.partial(jax.jit, static_argnames=("axis", "num", "interpret"))
@@ -77,7 +110,10 @@ def _ring_allreduce_padded(x, axis: str, num: int, interpret: bool):
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2,) + x.shape, x.dtype),
+            pltpu.VMEM((2, x.shape[0] // 2) + x.shape[1:], x.dtype),
+            pltpu.VMEM((2, x.shape[0] - x.shape[0] // 2) + x.shape[1:], x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -138,6 +138,30 @@ class TestPallasCollectives:
             np.asarray(out), np.broadcast_to(np.asarray(jnp.sum(x, 0)), (8, 37)), rtol=1e-6
         )
 
+    def test_ring_allreduce_large_payload(self, mesh8):
+        """Payload spanning both overlap streams (multiple sublane rows and
+        a ragged tail) reduces exactly."""
+        import functools
+
+        from jax.sharding import PartitionSpec as PS
+
+        from sdf3d_tpu.parallel import pallas_psum
+        from sdf3d_tpu.parallel.mesh import tile_axis
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((8, 3 * 1024 + 13)), jnp.float32)
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh8, in_specs=PS(tile_axis, None),
+            out_specs=PS(tile_axis, None), check_vma=False,
+        )
+        def f(local):
+            return pallas_psum(local[0], 8, interpret=True)[None]
+
+        out = np.asarray(f(x))
+        want = np.broadcast_to(np.asarray(jnp.sum(x, 0)), out.shape)
+        np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+
     def test_loss_and_grad_with_ring_allreduce(self, mesh8):
         o, d = camera_rays(CAM, CFG.width, CFG.height)
         target = s.render(s.reference_scene(), CAM, LIGHT, MAT, CFG)
