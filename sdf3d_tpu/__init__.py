@@ -45,11 +45,13 @@ from sdf3d_tpu.diff import (
     sphere_trace_implicit,
 )
 from sdf3d_tpu.render import render, render_aa, render_banded, render_batch, render_depth, render_rays, shade_pixels
+from sdf3d_tpu.stereo import render_stereo, stereo_cameras
 from sdf3d_tpu.scenes import (
     capsule_chain,
     csg_showcase,
     flagship_scene,
     lattice_scene,
+    materials_scene,
     random_blobs,
     reference_scene,
     sphere_scene,
@@ -70,7 +72,8 @@ __all__ = [
     "coverage", "depth_implicit", "ray_min_sdf_diff",
     "render_diff", "render_rays_diff", "sphere_trace_implicit",
     "render", "render_aa", "render_banded", "render_batch", "render_depth", "render_rays", "shade_pixels",
-    "capsule_chain", "csg_showcase", "flagship_scene", "lattice_scene",
+    "render_stereo", "stereo_cameras",
+    "capsule_chain", "csg_showcase", "flagship_scene", "lattice_scene", "materials_scene",
     "random_blobs", "reference_scene", "sphere_scene",
     "FitConfig", "FitResult", "fit_scene",
     "load_checkpoint", "save_checkpoint",

@@ -71,6 +71,33 @@ def csg_showcase() -> SDFNode:
     return union(ground_plane(), carved, shell, pillar)
 
 
+def materials_scene() -> SDFNode:
+    """The flagship geometry with per-object materials (sdf/materials.py):
+    a gold-ish blob, a red rounded box, a teal torus, and a warm gray floor —
+    the gallery scene where the per-leaf material channel is visible, and
+    the target for inverse-material fits."""
+    from sdf3d_tpu.lighting import material
+    from sdf3d_tpu.sdf.materials import shaded
+
+    floor = shaded(
+        ground_plane(),
+        material(ambient=(0.12, 0.11, 0.10), diffuse=(0.45, 0.42, 0.38), specular=(0.1, 0.1, 0.1)),
+    )
+    blob = shaded(
+        sphere(center=(-0.25, 0.4, 0.0), radius=0.22),
+        material(ambient=(0.2, 0.15, 0.02), diffuse=(0.85, 0.65, 0.13), specular=(0.9, 0.8, 0.4), shininess=48.0),
+    )
+    cube = shaded(
+        round_box(half_extents=(0.2, 0.2, 0.2), corner_radius=0.03, center=(0.25, 0.3, 0.0)),
+        material(ambient=(0.2, 0.02, 0.02), diffuse=(0.8, 0.1, 0.1)),
+    )
+    ring = shaded(
+        torus(major=0.45, minor=0.06, center=(0.0, 0.12, 0.35)),
+        material(ambient=(0.02, 0.15, 0.15), diffuse=(0.1, 0.7, 0.7), specular=(0.6, 0.6, 0.6), shininess=24.0),
+    )
+    return union(floor, smooth_union(blob, cube, k=0.15), ring)
+
+
 def lattice_scene(period: float = 1.2, radius: float = 0.18) -> SDFNode:
     """Infinite xz lattice of spheres over the ground plane — the march-depth
     stress scene (many occluders, long shadow rays)."""
