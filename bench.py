@@ -1,51 +1,105 @@
 #!/usr/bin/env python
 """Driver benchmark: one JSON line — 1080p sphere-trace fwd+bwd rays/s.
 
-Runs the fused Pallas path on the real TPU when one is present; falls back
-to the XLA path (any backend) so the line is always produced.
+Capture strategy (round-3 rework, VERDICT.md item 1): the whole TPU
+benchmark — probe *and* workload — runs in a killable subprocess, because a
+hung axon tunnel blocks XLA calls uninterruptibly and can only be escaped by
+killing the process.  Attempts are retried with backoff across a long window
+(default 45 min, env ``SDF3D_BENCH_BUDGET_S``): the round-2 hang outlived a
+9-minute probe window but the builder captured a healthy number later the
+same session, so the capture must keep trying for as long as the driver
+allows.  Only after the budget is exhausted does it fall back to a CPU XLA
+measurement, and that fallback is loudly marked ``"fallback": true`` with a
+distinct metric name so it can never be mistaken for a TPU regression.
 """
 
 import json
+import os
 import subprocess
 import sys
+import time
+
+# One benchmark attempt: probe + workload in a single child process.  The
+# child prints exactly one JSON line on success.  run_benchmark itself takes
+# ~60-120 s on a healthy chip (compile + robust_min_seconds windows), so a
+# 600 s timeout means "the tunnel is hung", not "the chip is slow".
+_CHILD = """\
+import json, sys
+import jax, jax.numpy as jnp
+# Cheap compute probe first: on a hung tunnel this blocks forever and the
+# parent's timeout kills us; on a healthy one it costs <1 s.
+assert float(jnp.sum(jnp.ones((64, 64)))) == 4096.0
+if not any(d.platform == "tpu" for d in jax.devices()):
+    sys.exit(3)  # distinct code: no TPU visible at all
+from sdf3d_tpu.bench import run_benchmark
+result = run_benchmark(engine="pallas", mode="fwd_bwd")
+print("BENCH_JSON:" + json.dumps(result))
+"""
 
 
-def tpu_alive(timeout_s: int = 180, attempts: int = 3) -> bool:
-    """Probe TPU compute in a subprocess — a hung tunnel blocks XLA calls
-    uninterruptibly, so the probe must be killable from outside.  Retried:
-    a single transient tunnel stall must not demote the whole benchmark run
-    to the CPU fallback path."""
-    code = "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones((64, 64)))))"
-    for _ in range(attempts):
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-c", code], timeout=timeout_s, capture_output=True, text=True
-            )
-            if proc.returncode == 0 and "4096" in proc.stdout:
-                return True
-        except subprocess.TimeoutExpired:
-            pass
-    return False
+def try_tpu_once(timeout_s: float) -> dict | None:
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _CHILD],
+            timeout=timeout_s,
+            capture_output=True,
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"bench attempt timed out after {timeout_s:.0f}s (hung tunnel?)",
+              file=sys.stderr)
+        return None
+    if proc.returncode != 0:
+        tail = (proc.stderr or "").strip().splitlines()[-3:]
+        print(f"bench attempt failed rc={proc.returncode}: {' | '.join(tail)}",
+              file=sys.stderr)
+        return None
+    for line in proc.stdout.splitlines():
+        if line.startswith("BENCH_JSON:"):
+            return json.loads(line[len("BENCH_JSON:"):])
+    print("bench attempt produced no JSON line", file=sys.stderr)
+    return None
 
 
 def main() -> int:
-    import jax
+    budget_s = float(os.environ.get("SDF3D_BENCH_BUDGET_S", "2700"))
+    attempt_timeout_s = float(os.environ.get("SDF3D_BENCH_ATTEMPT_S", "600"))
+    deadline = time.monotonic() + budget_s
 
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
-    from sdf3d_tpu.bench import run_benchmark
+    backoff = 15.0
+    attempt = 0
+    result = None
+    while time.monotonic() < deadline:
+        attempt += 1
+        remaining = deadline - time.monotonic()
+        print(f"TPU bench attempt {attempt} ({remaining:.0f}s of budget left)",
+              file=sys.stderr)
+        result = try_tpu_once(min(attempt_timeout_s, max(60.0, remaining)))
+        if result is not None:
+            result["fallback"] = False
+            result["attempts"] = attempt
+            break
+        # Hung tunnels recover on the scale of minutes; back off so attempts
+        # are spread over the whole budget instead of burning it up front.
+        sleep_s = min(backoff, max(0.0, deadline - time.monotonic()))
+        if sleep_s > 0:
+            time.sleep(sleep_s)
+        backoff = min(backoff * 2.0, 300.0)
 
-    try:
-        if not on_tpu:
-            raise RuntimeError("no TPU visible")
-        if not tpu_alive():
-            raise RuntimeError("TPU visible but compute probe timed out (hung tunnel)")
-        result = run_benchmark(engine="pallas", mode="fwd_bwd")
-    except Exception as e:  # Pallas/TPU unavailable: keep the metric flowing.
-        print(f"pallas/tpu path unavailable ({type(e).__name__}: {e}); "
-              "falling back to XLA path", file=sys.stderr)
+    if result is None:
+        # Budget exhausted: CPU fallback, loudly marked.  Smaller frame so it
+        # finishes quickly; the metric name and fallback flag both change.
+        print("TPU budget exhausted; falling back to CPU XLA measurement",
+              file=sys.stderr)
+        import jax
+
+        from sdf3d_tpu.bench import run_benchmark
+
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
-        result = run_benchmark(engine="xla", mode="fwd_bwd", width=640, height=360, iters=3,
-                               frames_per_dispatch=2)
+        result = run_benchmark(engine="xla", mode="fwd_bwd", width=640, height=360,
+                               iters=3, frames_per_dispatch=2)
+        result["fallback"] = True
+        result["attempts"] = attempt
 
     print(json.dumps(result))
     return 0
