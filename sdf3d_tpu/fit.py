@@ -67,12 +67,18 @@ class FitConfig:
     log_every: int = 10
     checkpoint_every: int = 0  # 0 disables
     checkpoint_dir: str | None = None
-    #: Render engine for the loss: "xla" (implicit-VJP ray renderer; works
-    #: sharded) or "pallas" (fused kernel + no-march backward; single-mesh
-    #: fast path — the production choice on TPU).
+    #: Render engine for the loss: "xla" (implicit-VJP ray renderer) or
+    #: "pallas" (fused forward + fused backward kernel — the production
+    #: choice on TPU).  Both compose with ``mesh``: the pallas engine runs
+    #: one fused fwd+bwd per row slab under shard_map with one psum over the
+    #: gradients (BASELINE config 5).
     engine: str = "xla"
     #: Pallas interpreter mode (CPU tests of the pallas engine).
     pallas_interpret: bool = False
+    #: Override the kernel tile shape (tile_h, tile_w); None = the tuned
+    #: default.  Small test images and interleaved sharding of short slabs
+    #: need smaller tiles than the 1080p optimum.
+    pallas_tile: tuple | None = None
     #: Pixel loss: "l2", or "multiscale" — L2 summed over an average-pool
     #: pyramid.  Plain L2 is silhouette-blind: pixels between the target's
     #: and the current render's silhouettes miss the object entirely and
@@ -99,6 +105,15 @@ class FitConfig:
     silhouette_weight: float = 0.0
     #: Softness (world units) of the coverage sigmoid; None = march_eps/2.5.
     silhouette_beta: float | None = None
+    #: With ``mesh`` + ``engine='pallas'``: shard the image as interleaved
+    #: tile-height row blocks instead of contiguous slabs, so every device
+    #: sees a representative sky/ground/object ray mix (load balance; see
+    #: parallel/shard_render.py).  Targets/rays are permuted host-side once.
+    shard_interleaved: bool = False
+    #: Gradient all-reduce for sharded fits: "psum" (XLA collective; default)
+    #: or "pallas_ring" / "pallas_ring_interpret" (the overlapped ring kernel,
+    #: one launch per step over the flattened gradient vector).
+    allreduce: str = "psum"
 
 
 @dataclasses.dataclass
@@ -183,19 +198,75 @@ def fit_scene(
         return sil_w * jnp.sum((cov - cov_t) ** 2)
 
     if fit_config.engine == "pallas":
-        if mesh is not None:
-            raise ValueError("engine='pallas' fits are single-mesh; use engine='xla' with a mesh")
         from sdf3d_tpu.ops import PallasRenderConfig, render_pallas
 
-        pc = PallasRenderConfig(interpret=fit_config.pallas_interpret)
+        if fit_config.pallas_tile is not None:
+            pc = PallasRenderConfig(
+                tile_h=fit_config.pallas_tile[0],
+                tile_w=fit_config.pallas_tile[1],
+                interpret=fit_config.pallas_interpret,
+            )
+        else:
+            pc = PallasRenderConfig(interpret=fit_config.pallas_interpret)
 
-        def value_and_grad(scene_, o_, d_, tgt_):
-            def loss(sc):
-                img = render_pallas(render_config, pc, sc, camera, light, mat)
+        if mesh is not None:
+            # Sharded fused-engine fit (BASELINE config 5): each device runs
+            # the fused forward + fused backward kernel on its row slab (the
+            # row0/rowstride uniforms map slab tiles to absolute pixels),
+            # grads are all-reduced once per step.
+            from sdf3d_tpu.ops.render_pallas import render_pallas_rows
+            from sdf3d_tpu.parallel.shard_render import interleave_rows
+
+            n = mesh.shape[tile_axis]
+            if render_config.height % n != 0:
+                raise ValueError(
+                    f"height {render_config.height} not divisible by mesh size {n}"
+                )
+            slab = render_config.height // n
+            th = pc.tile_h
+            interleaved = fit_config.shard_interleaved
+            if interleaved and slab % th != 0:
+                raise ValueError(
+                    "interleaved sharding needs height divisible by "
+                    f"n_devices*tile_h ({render_config.height} % {n * th} != 0)"
+                )
+            slab_cfg = dataclasses.replace(
+                render_config, height=slab, ndc_height=render_config.height
+            )
+
+            def slab_loss(scene_, o_, d_, tgt_):
+                idx = jax.lax.axis_index(tile_axis)
+                if interleaved:
+                    row0 = (idx * th).astype(jnp.float32)
+                    stride = jnp.float32(n * th)
+                else:
+                    row0 = (idx * slab).astype(jnp.float32)
+                    stride = jnp.float32(th)
+                img = render_pallas_rows(
+                    scene_, camera, light, mat, slab_cfg, pc, row0, stride
+                )
                 rgb_t, cov_t = _split_target(tgt_)
-                return pixel_loss(img, rgb_t, fit_config.loss, fit_config.pyramid_levels) + _sil_term(sc, o_, d_, cov_t)
+                return pixel_loss(
+                    img, rgb_t, fit_config.loss, fit_config.pyramid_levels
+                ) + _sil_term(scene_, o_, d_, cov_t)
 
-            return jax.value_and_grad(loss)(scene_)
+            value_and_grad = loss_and_grad_sharded(
+                slab_loss, mesh, allreduce=fit_config.allreduce
+            )
+            if interleaved:
+                # Row-permute once so each device's contiguous P(tile_axis)
+                # shard holds exactly the interleaved rows it renders.
+                origins = interleave_rows(origins, n, th)
+                directions = interleave_rows(directions, n, th)
+                target = interleave_rows(target, n, th)
+        else:
+            def value_and_grad(scene_, o_, d_, tgt_):
+                def loss(sc):
+                    img = render_pallas(render_config, pc, sc, camera, light, mat)
+                    rgb_t, cov_t = _split_target(tgt_)
+                    return pixel_loss(img, rgb_t, fit_config.loss, fit_config.pyramid_levels) + _sil_term(sc, o_, d_, cov_t)
+
+                return jax.value_and_grad(loss)(scene_)
     else:
         def slab_loss(scene_, o_, d_, tgt_):
             img = render_rays_diff(scene_, o_, d_, light, mat, render_config)
@@ -203,7 +274,9 @@ def fit_scene(
             return pixel_loss(img, rgb_t, fit_config.loss, fit_config.pyramid_levels) + _sil_term(scene_, o_, d_, cov_t)
 
         if mesh is not None:
-            value_and_grad = loss_and_grad_sharded(slab_loss, mesh)
+            value_and_grad = loss_and_grad_sharded(
+                slab_loss, mesh, allreduce=fit_config.allreduce
+            )
         else:
             def value_and_grad(scene_, o_, d_, tgt_):
                 return jax.value_and_grad(slab_loss)(scene_, o_, d_, tgt_)

@@ -54,6 +54,7 @@ from sdf3d_tpu.ops.render_kernel import (
     _U_MAT_DIF,
     _U_MAT_REF,
     _U_ROW0,
+    _U_ROWSTRIDE,
     _U_SHN,
     _round_up,
 )
@@ -199,7 +200,11 @@ def _bwd_tile_kernel(
     f32 = jnp.float32
     i = pl.program_id(0)
     j = pl.program_id(1)
-    rows = uni[_U_ROW0] + (i * TH + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)).astype(f32)
+    # row0/rowstride map tiles to absolute image rows exactly like the
+    # forward (render_kernel.py:158): contiguous slabs stride by TH,
+    # interleaved row-block sharding by n_devices*TH.  The backward must
+    # differentiate at the same pixel positions the forward rendered.
+    rows = uni[_U_ROW0] + i.astype(f32) * uni[_U_ROWSTRIDE] + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0).astype(f32)
     cols = (j * TW + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1)).astype(f32)
 
     pv = tuple(prm[k] for k in range(n_params))
@@ -249,6 +254,13 @@ def render_kernel_backward(
     grid = (Hp // TH, Wp // TW)
     P = int(params.shape[0])
     G = P + N_UNIFORMS
+
+    # Default row stride = TH (contiguous tiles), mirroring the forward's
+    # patch in _render_kernel_call — pack_uniforms leaves the slot 0.
+    stride = jnp.where(
+        uniforms[_U_ROWSTRIDE] > 0.0, uniforms[_U_ROWSTRIDE], jnp.float32(TH)
+    )
+    uniforms = uniforms.at[_U_ROWSTRIDE].set(stride)
 
     pad = ((0, Hp - H), (0, Wp - W))
     gr = jnp.pad(g_rgb[0], pad)

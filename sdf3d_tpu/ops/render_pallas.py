@@ -29,7 +29,11 @@ from sdf3d_tpu.camera import Camera
 from sdf3d_tpu.config import RenderConfig
 from sdf3d_tpu.diff import _DENOM_FLOOR
 from sdf3d_tpu.lighting import Material, PointLight
-from sdf3d_tpu.ops.render_kernel import PallasRenderConfig, render_kernel_forward
+from sdf3d_tpu.ops.render_kernel import (
+    PallasRenderConfig,
+    _render_kernel_call,
+    render_kernel_forward,
+)
 from sdf3d_tpu.sdf.node import SDFNode
 
 
@@ -328,6 +332,74 @@ def _bwd(cfg, pc, residuals, g_rgb):
 
 
 render_pallas_planar.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def render_planar_pu(scene_treedef, leaf_shapes, cfg, pc, params, uniforms):
+    """Differentiable fused render at the (params, uniforms) vector boundary.
+
+    The lower-level sibling of :func:`render_pallas_planar` for callers that
+    must patch uniforms with *traced* values before the custom-VJP boundary —
+    the sharded fit sets ``row0``/``rowstride`` from ``lax.axis_index`` inside
+    ``shard_map`` (parallel/shard_render.py), which no pytree-level entry can
+    express (cfg/camera are static/structured there).  Backward = the fused
+    backward kernel; both kernels honor the same row0/rowstride tile→pixel
+    mapping, so per-slab gradients land at the right absolute pixels.
+    """
+    rgb, _, _, _ = _render_kernel_call(scene_treedef, leaf_shapes, params, uniforms, cfg, pc)
+    return rgb
+
+
+def _pu_fwd(scene_treedef, leaf_shapes, cfg, pc, params, uniforms):
+    rgb, t, shadow, ao = _render_kernel_call(scene_treedef, leaf_shapes, params, uniforms, cfg, pc)
+    return rgb, (params, uniforms, t, shadow, ao)
+
+
+def _pu_bwd(scene_treedef, leaf_shapes, cfg, pc, residuals, g_rgb):
+    from sdf3d_tpu.ops.render_bwd_kernel import render_kernel_backward
+
+    params, uniforms, t, shadow, ao = residuals
+    g_params, g_uni = render_kernel_backward(
+        scene_treedef, leaf_shapes, params, uniforms, g_rgb, t, shadow, ao, cfg, pc
+    )
+    return g_params, g_uni
+
+
+render_planar_pu.defvjp(_pu_fwd, _pu_bwd)
+
+
+def render_pallas_rows(
+    scene: SDFNode,
+    camera: Camera,
+    light: PointLight,
+    mat: Material,
+    cfg: RenderConfig,
+    pc: PallasRenderConfig,
+    row0,
+    rowstride,
+) -> jnp.ndarray:
+    """Differentiable fused render of ``cfg.height`` rows of an
+    ``cfg.ndc_height``-tall image, starting at absolute row ``row0`` with
+    tile rows strided by ``rowstride`` (both may be traced — e.g. derived
+    from ``lax.axis_index`` under ``shard_map``).  Returns ``(h, W, 3)``.
+
+    Gradients flow to scene/camera/light/mat through the fused backward
+    kernel (scene via ``scene_param_vector``'s vjp, the rest via
+    ``pack_uniforms``'s vjp); ``row0``/``rowstride`` are positional, not
+    differentiable.
+    """
+    from sdf3d_tpu.ops.render_kernel import _U_K, _U_ROW0, _U_ROWSTRIDE, pack_uniforms
+    from sdf3d_tpu.ops.scene_program import scene_param_vector
+
+    leaves, treedef = jax.tree_util.tree_flatten(scene)
+    leaf_shapes = tuple(jnp.shape(l) for l in leaves)
+    params = scene_param_vector(scene)
+    uniforms = pack_uniforms(camera, light, mat, cfg.ray_mode)
+    uniforms = uniforms.at[_U_K].set(jnp.asarray(cfg.shadow.k, jnp.float32))
+    uniforms = uniforms.at[_U_ROW0].set(jnp.asarray(row0, jnp.float32))
+    uniforms = uniforms.at[_U_ROWSTRIDE].set(jnp.asarray(rowstride, jnp.float32))
+    rgb = render_planar_pu(treedef, leaf_shapes, cfg, pc, params, uniforms)
+    return jnp.transpose(rgb, (1, 2, 0))
 
 
 def render_pallas_depth(

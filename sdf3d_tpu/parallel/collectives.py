@@ -141,8 +141,27 @@ def pallas_psum(x: jnp.ndarray, num_devices: int, axis: str = tile_axis, interpr
 
 
 def pallas_psum_tree(tree, num_devices: int, axis: str = tile_axis, interpret: bool = False):
-    """Tree-map :func:`pallas_psum` — all leaves reduced with one kernel call
-    each (small gradient pytrees; fuse into one vector upstream if needed)."""
-    return jax.tree_util.tree_map(
-        lambda leaf: pallas_psum(leaf, num_devices, axis, interpret), tree
-    )
+    """All-reduce a whole pytree with **one** ring kernel launch.
+
+    Leaves are raveled and concatenated into a single vector, reduced with
+    one :func:`pallas_psum`, and split back — a gradient pytree costs one
+    collective per step, not one per leaf (a leaf-per-ring launch paid the
+    full ring latency ``n_leaves`` times for the same handful of floats).
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if not leaves:
+        return tree
+    if len(leaves) == 1:
+        return jax.tree_util.tree_unflatten(
+            treedef, [pallas_psum(leaves[0], num_devices, axis, interpret)]
+        )
+    sizes = [int(jnp.size(l)) for l in leaves]
+    flat = jnp.concatenate([jnp.ravel(l).astype(jnp.float32) for l in leaves])
+    reduced = pallas_psum(flat, num_devices, axis, interpret)
+    out, off = [], 0
+    for leaf, size in zip(leaves, sizes):
+        out.append(
+            jnp.reshape(reduced[off : off + size], jnp.shape(leaf)).astype(leaf.dtype)
+        )
+        off += size
+    return jax.tree_util.tree_unflatten(treedef, out)

@@ -54,6 +54,33 @@ def _row_slab(config: RenderConfig, n: int) -> int:
     return config.height // n
 
 
+def interleave_rows(x: jnp.ndarray, n: int, th: int) -> jnp.ndarray:
+    """Permute leading-axis rows from absolute order to device-slab order.
+
+    After the permutation, contiguous slab ``d`` (rows ``[d·H/n, (d+1)·H/n)``)
+    holds exactly the interleaved row blocks device ``d`` renders: absolute
+    row ``i·(n·th) + d·th + r`` lands at ``d·(H/n) + i·th + r``.  Used to
+    pre-shard targets/ray bundles for interleaved row-block fits so the
+    standard ``P(tile_axis, ...)`` row sharding delivers the right rows.
+    """
+    H = x.shape[0]
+    if H % (n * th) != 0:
+        raise ValueError(f"rows {H} not divisible by n_devices*tile_h = {n * th}")
+    blocks = H // (n * th)
+    v = x.reshape((blocks, n, th) + x.shape[1:])
+    return jnp.swapaxes(v, 0, 1).reshape((H,) + x.shape[1:])
+
+
+def deinterleave_rows(x: jnp.ndarray, n: int, th: int) -> jnp.ndarray:
+    """Inverse of :func:`interleave_rows` (device-slab order → absolute)."""
+    H = x.shape[0]
+    if H % (n * th) != 0:
+        raise ValueError(f"rows {H} not divisible by n_devices*tile_h = {n * th}")
+    blocks = H // (n * th)
+    v = x.reshape((n, blocks, th) + x.shape[1:])
+    return jnp.swapaxes(v, 0, 1).reshape((H,) + x.shape[1:])
+
+
 @functools.partial(jax.jit, static_argnames=("config", "mesh", "differentiable"))
 def render_sharded(
     scene: SDFNode,

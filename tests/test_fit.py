@@ -198,14 +198,37 @@ class TestFitEngines:
         assert result.losses[-1] < result.losses[0] * 0.25
         assert float(result.scene.b.radius) == pytest.approx(0.2, abs=0.03)
 
-    def test_pallas_engine_rejects_mesh(self):
-        from sdf3d_tpu.fit import FitConfig
-
+    def test_pallas_engine_sharded_matches_unsharded(self):
+        """engine='pallas' + mesh (fused fwd+bwd per slab, psum'd grads):
+        identical first steps, then convergence to the target radius.
+        Per-step gradient parity (contiguous + interleaved) is the tight
+        check in test_parallel.py::TestShardedPallasGradients; beyond a few
+        steps the float32 trajectories are chaotic and can't be compared."""
         target, scene0 = _target_and_init()
         mesh = make_mesh(jax.devices("cpu"), n_devices=4)
-        with pytest.raises(ValueError, match="single-mesh"):
-            fit_scene(target, scene0, CAM, LIGHT, MAT, CFG,
-                      FitConfig(engine="pallas"), mesh=mesh)
+        fc = FitConfig(steps=2, learning_rate=2e-2, log_every=1,
+                       engine="pallas", pallas_interpret=True, pallas_tile=(8, 128))
+        sharded = fit_scene(target, scene0, CAM, LIGHT, MAT, CFG, fc, mesh=mesh)
+        single = fit_scene(target, scene0, CAM, LIGHT, MAT, CFG, fc)
+        for a, b in zip(sharded.losses, single.losses):
+            assert a == pytest.approx(b, rel=1e-4)
+
+        trainable = jax.tree_util.tree_map(lambda _: True, scene0)
+        trainable = trainable.replace(a=jax.tree_util.tree_map(lambda _: False, scene0.a))
+        fc = dataclasses.replace(fc, steps=60, log_every=10)
+        result = fit_scene(target, scene0, CAM, LIGHT, MAT, CFG, fc,
+                           mesh=mesh, trainable=trainable)
+        assert result.losses[-1] < result.losses[0] * 0.2
+        assert float(result.scene.b.radius) == pytest.approx(0.2, abs=0.03)
+
+    def test_pallas_engine_sharded_interleaved_converges(self):
+        target, scene0 = _target_and_init()
+        mesh = make_mesh(jax.devices("cpu"), n_devices=2)
+        fc = FitConfig(steps=15, learning_rate=2e-2, log_every=5,
+                       engine="pallas", pallas_interpret=True, pallas_tile=(8, 128),
+                       shard_interleaved=True)
+        result = fit_scene(target, scene0, CAM, LIGHT, MAT, CFG, fc, mesh=mesh)
+        assert result.losses[-1] < result.losses[0]
 
     def test_multiscale_loss_larger_than_l2(self):
         from sdf3d_tpu.fit import pixel_loss

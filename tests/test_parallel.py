@@ -100,6 +100,75 @@ class TestShardedGradients:
         np.testing.assert_allclose(np.asarray(gs), np.asarray(gu), rtol=1e-4, atol=1e-4)
 
 
+class TestShardedPallasGradients:
+    """The sharded differentiable fused-engine composition: per-slab fused
+    forward + fused backward under shard_map with psum'd grads must match
+    the unsharded fused path and the XLA implicit-VJP path — contiguous
+    *and* interleaved row-block layouts (the backward kernel's rowstride)."""
+
+    def _setup(self):
+        cfg = dataclasses.replace(CFG, height=128)  # 128 % (8 devs * 8 rows) == 0
+        scene = s.sdf.union(
+            s.sdf.ground_plane(), s.sdf.sphere(center=(0.0, 0.4, 0.0), radius=0.25)
+        )
+        target = s.render(s.reference_scene(), CAM, LIGHT, MAT, cfg)
+        return cfg, scene, target
+
+    @pytest.mark.parametrize("interleaved", [False, True])
+    def test_grads_match_unsharded_pallas_and_xla(self, mesh8, interleaved):
+        from sdf3d_tpu.ops import render_pallas
+        from sdf3d_tpu.ops.render_pallas import render_pallas_rows
+        from sdf3d_tpu.parallel.mesh import tile_axis
+        from sdf3d_tpu.parallel.shard_render import interleave_rows
+
+        cfg, scene, target = self._setup()
+        pc = PallasRenderConfig(tile_h=8, tile_w=128, interpret=True)
+        n, th = 8, pc.tile_h
+        slab = cfg.height // n
+        slab_cfg = dataclasses.replace(cfg, height=slab, ndc_height=cfg.height)
+
+        def slab_loss(scene_, o_, d_, tgt_):
+            idx = jax.lax.axis_index(tile_axis)
+            if interleaved:
+                row0, stride = (idx * th).astype(jnp.float32), jnp.float32(n * th)
+            else:
+                row0, stride = (idx * slab).astype(jnp.float32), jnp.float32(th)
+            img = render_pallas_rows(scene_, CAM, LIGHT, MAT, slab_cfg, pc, row0, stride)
+            return jnp.sum((img - tgt_) ** 2)
+
+        o, d = camera_rays(CAM, cfg.width, cfg.height)
+        tgt = interleave_rows(target, n, th) if interleaved else target
+        l_sh, g_sh = loss_and_grad_sharded(slab_loss, mesh8)(scene, o, d, tgt)
+
+        def loss_pallas(sc):
+            img = render_pallas(cfg, pc, sc, CAM, LIGHT, MAT)
+            return jnp.sum((img - target) ** 2)
+
+        l_un, g_un = jax.value_and_grad(loss_pallas)(scene)
+        assert float(l_sh) == pytest.approx(float(l_un), rel=1e-5)
+        gs, _ = fu.ravel_pytree(g_sh)
+        gu, _ = fu.ravel_pytree(g_un)
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gu), rtol=1e-4, atol=1e-6)
+
+        def loss_xla(sc):
+            img = render_rays_diff(sc, o, d, LIGHT, MAT, cfg)
+            return jnp.sum((img - target) ** 2)
+
+        _, g_xla = jax.value_and_grad(loss_xla)(scene)
+        gx, _ = fu.ravel_pytree(g_xla)
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gx), rtol=5e-3, atol=1e-3)
+
+    def test_interleave_roundtrip(self):
+        from sdf3d_tpu.parallel.shard_render import deinterleave_rows, interleave_rows
+
+        x = jnp.arange(128 * 3, dtype=jnp.float32).reshape(128, 3)
+        y = interleave_rows(x, 8, 8)
+        np.testing.assert_array_equal(np.asarray(deinterleave_rows(y, 8, 8)), np.asarray(x))
+        # Device 1's first block (rows 8..16 of the permuted layout) must be
+        # absolute rows 8..16's counterpart: i=0, d=1 -> absolute rows 8..16.
+        np.testing.assert_array_equal(np.asarray(y[16:24]), np.asarray(x[8:16]))
+
+
 class TestGraftEntry:
     def test_dryrun_multichip(self):
         import __graft_entry__ as ge
