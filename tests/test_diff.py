@@ -41,6 +41,7 @@ class TestImplicitDepth:
         d_impl = np.asarray(s.depth_implicit(_scene(), CAM, CFG))
         np.testing.assert_array_equal(d_plain, d_impl)
 
+    @pytest.mark.smoke
     def test_head_on_radius_gradient_is_minus_one(self):
         """A ray aimed at the sphere center: t = |c−o| − r ⇒ dt/dr = −1."""
         o = jnp.array([0.0, 0.4, 2.0])

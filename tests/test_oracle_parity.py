@@ -44,6 +44,7 @@ def _render_jax(view=None, width=W, height=H):
 
 
 @needs_native
+@pytest.mark.smoke
 def test_numpy_oracle_matches_native_bitlevel():
     """The two oracles are independent implementations of the same float32
     program — they must agree to last-bit rounding."""
@@ -61,6 +62,7 @@ def test_jax_matches_numpy_oracle_identity_view():
 
 
 @needs_native
+@pytest.mark.smoke
 def test_jax_matches_native_oracle_identity_view():
     a = _render_jax()
     b = render_reference_native(W, H)

@@ -93,6 +93,7 @@ class TestSceneProgram:
 
 
 class TestKernelParity:
+    @pytest.mark.smoke
     def test_reference_scene_matches_xla(self):
         rgb, t, _, _ = render_pallas_aux(CFG, s.reference_scene(), CAM, LIGHT, MAT, PC_EXACT)
         img = np.asarray(s.render(s.reference_scene(), CAM, LIGHT, MAT, CFG))
@@ -189,6 +190,7 @@ class TestKernelGradients:
     def _patch(self, img):
         return img[40:56, 56:72]
 
+    @pytest.mark.smoke
     def test_scene_gradient_matches_render_diff(self):
         def loss_p(r):
             sc = s.sdf.union(s.sdf.ground_plane(), s.sdf.sphere(center=(0.0, 0.4, 0.0), radius=r))
@@ -226,6 +228,7 @@ class TestFusedBackwardKernel:
     same gradients as the XLA planar backward it replaced on the default
     (shadow grad == "detach") path."""
 
+    @pytest.mark.smoke
     def test_matches_planar_backward_all_inputs(self):
         import importlib
 

@@ -35,6 +35,7 @@ class TestShardedRender:
         b = np.asarray(render_sharded(s.reference_scene(), CAM, LIGHT, MAT, CFG, mesh8))
         np.testing.assert_array_equal(a, b)
 
+    @pytest.mark.smoke
     def test_pallas_sharded_matches_xla(self, mesh8):
         pc = PallasRenderConfig(tile_h=8, tile_w=128, interpret=True)
         a = np.asarray(s.render(s.reference_scene(), CAM, LIGHT, MAT, CFG))
@@ -115,6 +116,7 @@ class TestShardedPallasGradients:
         return cfg, scene, target
 
     @pytest.mark.parametrize("interleaved", [False, True])
+    @pytest.mark.smoke
     def test_grads_match_unsharded_pallas_and_xla(self, mesh8, interleaved):
         from sdf3d_tpu.ops import render_pallas
         from sdf3d_tpu.ops.render_pallas import render_pallas_rows
