@@ -21,6 +21,7 @@ import numpy as np
 
 import sdf3d_tpu as s
 from sdf3d_tpu.interact.app import InteractiveSession
+from sdf3d_tpu.interact.devices import JoystickReader
 from sdf3d_tpu.interact.viewer import LiveViewer
 from sdf3d_tpu.ops import PallasRenderConfig, render_kernel_forward
 
@@ -48,7 +49,13 @@ def main():
         return render_kernel_forward(scene, cam, light, mat, cfg, pc)[0]
 
     session = InteractiveSession(lambda cam: np.asarray(render(cam)), cfg)
-    LiveViewer(session, port=args.port).run(max_frames=args.frames)
+    # A physical gamepad plugged into this host drives the loop directly
+    # (the browser's Gamepad API covers pads on the viewing machine).
+    readers = []
+    if JoystickReader.available():
+        readers.append(JoystickReader())
+        print("gamepad: /dev/input/js0 connected")
+    LiveViewer(session, port=args.port, device_readers=readers).run(max_frames=args.frames)
 
 
 if __name__ == "__main__":

@@ -9,10 +9,14 @@ renderer, frames going to PNG/PPM sinks instead of a swapchain.
 
 from sdf3d_tpu.interact.controller import NavigationController, navigation_available
 from sdf3d_tpu.interact.app import InteractiveSession, render_turntable
+from sdf3d_tpu.interact.devices import JoystickReader, KeyboardReader, apply_key
 
 __all__ = [
     "NavigationController",
     "navigation_available",
     "InteractiveSession",
     "render_turntable",
+    "JoystickReader",
+    "KeyboardReader",
+    "apply_key",
 ]

@@ -41,10 +41,17 @@ _PAGE = """<!doctype html>
 <html><head><title>sdf3d-tpu live</title><style>
 body { margin:0; background:#111; color:#ccc; font:13px monospace; }
 #hud { position:fixed; top:8px; left:8px; }
+#plots { position:fixed; top:8px; right:8px; text-align:right; }
+canvas { display:block; background:#1a1a1a; border:1px solid #333; margin-bottom:4px; }
+.lbl { font-size:11px; color:#888; }
 img  { display:block; margin:0 auto; image-rendering:pixelated; }
 </style></head>
 <body>
-<div id="hud">drag: orbit &nbsp; shift+drag: pan &nbsp; wheel: zoom</div>
+<div id="hud">drag: orbit &nbsp; shift+drag: pan &nbsp; wheel: zoom &nbsp; wasd/arrows/+-: keys</div>
+<div id="plots">
+  <canvas id="rays" width="240" height="48"></canvas><div class="lbl" id="rays_lbl">rays/s</div>
+  <canvas id="loss" width="240" height="48" style="display:none"></canvas><div class="lbl" id="loss_lbl"></div>
+</div>
 <img id="view" src="/stream">
 <script>
 const view = document.getElementById('view');
@@ -59,10 +66,54 @@ window.addEventListener('mousemove', e => {
 });
 view.addEventListener('wheel', e => { e.preventDefault(); post({type: 'scroll', amount: -e.deltaY / 240}); }, {passive: false});
 view.addEventListener('contextmenu', e => e.preventDefault());
+// Keyboard: the same binding table as interact/devices.py (server-side map).
+window.addEventListener('keydown', e => {
+  const k = e.key.length === 1 ? e.key : e.key.toLowerCase();
+  if ('wasd+-='.includes(k) || k.startsWith('arrow')) { e.preventDefault(); post({type: 'key', key: k}); }
+});
+// Physical gamepads via the Gamepad API: poll sticks each frame and forward
+// them — the browser is the device host, the render loop applies the
+// reference's deadzone filter (gamepad_navigation analogue).
+let padSeen = false;
+function pollPad() {
+  const pads = navigator.getGamepads ? navigator.getGamepads() : [];
+  for (const p of pads) {
+    if (!p || !p.connected) continue;
+    const a = p.axes, zin = p.buttons[7] ? p.buttons[7].value : 0, zout = p.buttons[6] ? p.buttons[6].value : 0;
+    const ev = {type: 'gamepad', lx: a[0]||0, ly: a[1]||0, rx: a[2]||0, ry: a[3]||0, zoom: zin - zout};
+    if (padSeen || Math.max(...[ev.lx, ev.ly, ev.rx, ev.ry, ev.zoom].map(Math.abs)) > 0.3) { padSeen = true; post(ev); }
+    break;
+  }
+  requestAnimationFrame(pollPad);
+}
+requestAnimationFrame(pollPad);
+// Live plots (the ImPlot analogue): sparkline of /stats history.
+function spark(id, data, color) {
+  const c = document.getElementById(id), g = c.getContext('2d');
+  g.clearRect(0, 0, c.width, c.height);
+  if (!data || data.length < 2) return;
+  const lo = Math.min(...data), hi = Math.max(...data), span = (hi - lo) || 1;
+  g.strokeStyle = color; g.lineWidth = 1.5; g.beginPath();
+  data.forEach((v, i) => {
+    const x = i / (data.length - 1) * (c.width - 4) + 2;
+    const y = c.height - 3 - (v - lo) / span * (c.height - 6);
+    i ? g.lineTo(x, y) : g.moveTo(x, y);
+  });
+  g.stroke();
+}
 setInterval(async () => {
   const s = await (await fetch('/stats')).json();
   document.getElementById('hud').textContent =
-    `frame ${s.frame}  ${(s.rays_per_second/1e6).toFixed(0)} Mrays/s  drag: orbit  shift+drag: pan  wheel: zoom`;
+    `frame ${s.frame}  ${(s.rays_per_second/1e6).toFixed(0)} Mrays/s  drag: orbit  shift+drag: pan  wheel: zoom  wasd/arrows/+-: keys`;
+  spark('rays', s.history.rays_per_second, '#6cf');
+  document.getElementById('rays_lbl').textContent = `${(s.rays_per_second/1e6).toFixed(1)} Mrays/s`;
+  const loss = (s.metrics && s.metrics.loss) || [];
+  const lc = document.getElementById('loss');
+  if (loss.length) {
+    lc.style.display = 'block';
+    spark('loss', loss, '#fa6');
+    document.getElementById('loss_lbl').textContent = `loss ${loss[loss.length-1].toExponential(2)}`;
+  }
 }, 1000);
 </script></body></html>"""
 
@@ -76,13 +127,22 @@ class LiveViewer:
     """
 
     def __init__(self, session: InteractiveSession, host: str = "127.0.0.1", port: int = 8000,
-                 max_fps: float = 30.0, compress_level: int = 1):
+                 max_fps: float = 30.0, compress_level: int = 1, device_readers=()):
         self.session = session
         self.events: queue.Queue = queue.Queue()
         self.latest_png: bytes = b""
         self._frame_event = threading.Event()
         self.max_fps = max_fps
         self.compress_level = compress_level
+        #: Points kept per plotted series (sparkline window).
+        self.history_len = 120
+        #: Named scalar series for the live plots (e.g. fit loss): append
+        #: with :meth:`push_metric` from the render/fit loop.
+        self.metrics: dict[str, list] = {}
+        #: Local input devices polled each frame (JoystickReader /
+        #: KeyboardReader from interact/devices.py) — the GLFW device-poll
+        #: analogue for headless hosts.
+        self.device_readers = list(device_readers)
         self._stop = False
         viewer = self
 
@@ -104,11 +164,22 @@ class LiveViewer:
                     self._send(200, "image/png", viewer.latest_png or b"")
                 elif self.path.startswith("/stats"):
                     st = viewer.session.stats[-1] if viewer.session.stats else None
+                    hist = viewer.session.stats[-viewer.history_len:]
                     body = json.dumps(
                         {
                             "frame": st.frame if st else -1,
                             "seconds": st.seconds if st else 0.0,
                             "rays_per_second": st.rays_per_second if st else 0.0,
+                            # Sparkline history (the ImPlot runtime-plot
+                            # analogue, reference CMakeLists.txt:61-66).
+                            "history": {
+                                "rays_per_second": [h.rays_per_second for h in hist],
+                                "seconds": [h.seconds for h in hist],
+                            },
+                            "metrics": {
+                                k: v[-viewer.history_len:]
+                                for k, v in viewer.metrics.items()
+                            },
                         }
                     ).encode()
                     self._send(200, "application/json", body)
@@ -156,8 +227,16 @@ class LiveViewer:
         self._server_thread = threading.Thread(target=self.server.serve_forever, daemon=True)
         self._server_thread.start()
 
+    def push_metric(self, name: str, value: float) -> None:
+        """Append a point to a named plot series (e.g. ``loss`` from a fit
+        loop); the page draws a sparkline per series (the ImPlot analogue)."""
+        self.metrics.setdefault(name, []).append(float(value))
+        del self.metrics[name][: -4 * self.history_len]
+
     def apply_events(self) -> int:
         """Drain queued browser events into the navigation controller."""
+        from sdf3d_tpu.interact.devices import apply_key
+
         n = 0
         nav = self.session.nav
         while True:
@@ -172,10 +251,20 @@ class LiveViewer:
                 nav.mouse_drag(float(ev.get("dx", 0.0)), float(ev.get("dy", 0.0)), pan=True)
             elif kind == "scroll":
                 nav.scroll(float(ev.get("amount", 0.0)))
+            elif kind == "key":
+                apply_key(nav, str(ev.get("key", "")))
+            elif kind == "gamepad":
+                nav.gamepad(
+                    float(ev.get("lx", 0.0)), float(ev.get("ly", 0.0)),
+                    float(ev.get("rx", 0.0)), float(ev.get("ry", 0.0)),
+                    float(ev.get("zoom", 0.0)),
+                )
             n += 1
 
     def step(self, dt: float = 1 / 30) -> np.ndarray:
-        """One frame: apply events → navigate → render → publish PNG."""
+        """One frame: poll devices → apply events → navigate → render → publish."""
+        for reader in self.device_readers:
+            reader.apply(self.session.nav)
         self.apply_events()
         img = self.session.frame(dt)
         self.latest_png = encode_png(img, compress_level=self.compress_level)

@@ -76,6 +76,59 @@ def test_viewer_events_drive_navigation():
         viewer.stop()
 
 
+def test_viewer_key_and_gamepad_events_drive_navigation():
+    viewer, base, calls = _make_viewer()
+    try:
+        viewer.step()
+        p0 = calls[-1].copy()
+        for ev in (
+            {"type": "key", "key": "d"},
+            {"type": "gamepad", "lx": 0.9, "ly": 0.0, "rx": 0.0, "ry": 0.0, "zoom": 0.0},
+        ):
+            req = urllib.request.Request(base + "/event", data=json.dumps(ev).encode(), method="POST")
+            urllib.request.urlopen(req, timeout=10).read()
+        for _ in range(8):
+            viewer.step(dt=1 / 30)
+        assert not np.allclose(p0, calls[-1]), "key/gamepad events did not move the camera"
+    finally:
+        viewer.stop()
+
+
+def test_viewer_stats_history_and_metrics():
+    viewer, base, calls = _make_viewer()
+    try:
+        for _ in range(5):
+            viewer.step()
+        viewer.push_metric("loss", 3.0)
+        viewer.push_metric("loss", 1.5)
+        stats = json.loads(_get(base + "/stats"))
+        assert len(stats["history"]["rays_per_second"]) == 5
+        assert stats["metrics"]["loss"] == [3.0, 1.5]
+        page = _get(base + "/")
+        assert "canvas" in page and "getGamepads" in page and "keydown" in page
+    finally:
+        viewer.stop()
+
+
+def test_viewer_local_device_reader_polled_per_frame():
+    import io as _io
+    import struct as _struct
+
+    from sdf3d_tpu.interact.devices import _JS_EVENT_AXIS, JoystickReader
+
+    viewer, base, calls = _make_viewer()
+    try:
+        viewer.step()
+        p0 = calls[-1].copy()
+        data = _struct.pack("<IhBB", 0, 32767, _JS_EVENT_AXIS, 0)
+        viewer.device_readers.append(JoystickReader(fileobj=_io.BytesIO(data)))
+        for _ in range(8):
+            viewer.step(dt=1 / 30)
+        assert not np.allclose(p0, calls[-1]), "local joystick did not move the camera"
+    finally:
+        viewer.stop()
+
+
 def test_viewer_stream_yields_multipart_frames():
     viewer, base, calls = _make_viewer()
     try:
