@@ -41,6 +41,35 @@ _LANES = 128
 _SUBLANES = 8
 
 
+def ring_schedule(num: int) -> list:
+    """The two-stream ring all-reduce op sequence, as data.
+
+    Returns ``[(op, stream, step), ...]`` with ``op ∈ {start, wait, accum}``
+    and ``stream ∈ {A, B}``: ``start`` issues stream's step-``s`` RDMA to the
+    right neighbor, ``wait`` blocks on its arrival, ``accum`` adds the
+    arrived chunk into the output.  This list is the **single source of
+    truth** for the kernel: ``_ring_allreduce_kernel`` emits its program by
+    walking it in order (Mosaic preserves program order for side-effecting
+    DMA ops), so schedule-level properties are properties of the compiled
+    kernel.  The overlap evidence lives in
+    ``test_parallel.py::test_ring_schedule_overlaps_comm_and_compute``:
+    every ``accum`` except the final one executes while the *other* stream
+    has an RDMA outstanding (issued, not yet waited) — compute hides wire
+    time instead of serializing after it.
+    """
+    ops = [("start", "A", 0), ("start", "B", 0)]
+    for step in range(num - 1):
+        for stream in ("A", "B"):
+            # Consume this stream's arrival while the other stream's RDMA
+            # (issued below on the previous line for A, or on the previous
+            # step for B) is still in flight.
+            ops.append(("wait", stream, step))
+            ops.append(("accum", stream, step))
+            if step + 1 < num - 1:
+                ops.append(("start", stream, step + 1))
+    return ops
+
+
 def _ring_allreduce_kernel(
     x_ref, out_ref, comm_a, comm_b, send_a, recv_a, send_b, recv_b, *, axis: str, num: int
 ):
@@ -52,13 +81,11 @@ def _ring_allreduce_kernel(
     step s−1 and accumulates each arrival — after N−1 steps every device has
     every shard's contribution.
 
-    The overlap: the two streams' schedules are interleaved so that while
-    stream A's RDMA is in flight, the VPU accumulates stream B's already-
-    arrived chunk (and vice versa) — each stream's wire time is hidden
-    behind the other's adds (BASELINE north star: gradient all-reduce
-    overlapped with compute).  The same slot structure also means the next
-    send is issued *before* waiting on the other stream, so both directions
-    of work are always outstanding.
+    The op order comes verbatim from :func:`ring_schedule`: the two streams
+    are interleaved so that while stream A's RDMA is on the wire, the VPU
+    accumulates stream B's already-arrived chunk (and vice versa) — each
+    stream's wire time is hidden behind the other's adds (BASELINE north
+    star: gradient all-reduce overlapped with compute).
     """
     my_id = lax.axis_index(axis)
     right = lax.rem(my_id + 1, num)
@@ -79,25 +106,21 @@ def _ring_allreduce_kernel(
     comm_a[0] = x_ref[:half]
     comm_b[0] = x_ref[half:]
 
-    a = rdma(comm_a, send_a, recv_a, 0, 1)
-    a.start()
-    b = rdma(comm_b, send_b, recv_b, 0, 1)
-    b.start()
-    for step in range(num - 1):
-        src_slot = step % 2
-        dst_slot = (step + 1) % 2
-        # Stream A's arrival is consumed while stream B's RDMA flies...
-        a.wait()
-        out_ref[:half] += comm_a[dst_slot]
-        if step + 1 < num - 1:
-            a = rdma(comm_a, send_a, recv_a, dst_slot, src_slot)
-            a.start()
-        # ...and stream B's while A's next hop flies.
-        b.wait()
-        out_ref[half:] += comm_b[dst_slot]
-        if step + 1 < num - 1:
-            b = rdma(comm_b, send_b, recv_b, dst_slot, src_slot)
-            b.start()
+    streams = {
+        "A": (comm_a, send_a, recv_a, slice(None, half)),
+        "B": (comm_b, send_b, recv_b, slice(half, None)),
+    }
+    handles = {}
+    for op, stream, step in ring_schedule(num):
+        buf, s_sem, r_sem, rows = streams[stream]
+        src_slot, dst_slot = step % 2, (step + 1) % 2
+        if op == "start":
+            handles[stream] = rdma(buf, s_sem, r_sem, src_slot, dst_slot)
+            handles[stream].start()
+        elif op == "wait":
+            handles[stream].wait()
+        else:  # accum
+            out_ref[rows] += buf[dst_slot]
 
 
 @functools.partial(jax.jit, static_argnames=("axis", "num", "interpret"))

@@ -233,6 +233,73 @@ class TestPallasCollectives:
         want = np.broadcast_to(np.asarray(jnp.sum(x, 0)), out.shape)
         np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.parametrize("num", [2, 4, 8])
+    def test_ring_schedule_overlaps_comm_and_compute(self, num):
+        """The overlap evidence: the kernel emits its ops from ring_schedule
+        in program order (Mosaic preserves side-effecting op order), and in
+        that schedule every accumulate except the final one executes while
+        the OTHER stream's RDMA is outstanding (started, not yet waited) —
+        compute hides wire time rather than serializing after it."""
+        from sdf3d_tpu.parallel.collectives import ring_schedule
+
+        ops = ring_schedule(num)
+        outstanding = {"A": 0, "B": 0}
+        waited = {"A": -1, "B": -1}
+        accums = overlapped = 0
+        for op, stream, step in ops:
+            other = "B" if stream == "A" else "A"
+            if op == "start":
+                outstanding[stream] += 1
+            elif op == "wait":
+                outstanding[stream] -= 1
+                assert step == waited[stream] + 1  # lockstep, in order
+                waited[stream] = step
+            else:
+                assert waited[stream] == step  # never read before arrival
+                accums += 1
+                overlapped += int(outstanding[other] > 0)
+            assert 0 <= outstanding[stream] <= 1  # double-buffered: ≤1 in flight
+        # Each stream accumulates num-1 chunks; all but the very last land
+        # inside the other stream's RDMA window.
+        assert accums == 2 * (num - 1)
+        assert overlapped == accums - 1
+        # Every started RDMA is waited (no dangling DMA at kernel exit).
+        assert outstanding == {"A": 0, "B": 0}
+
+    def test_ring_allreduce_tree_single_launch(self, mesh8):
+        """pallas_psum_tree flattens the pytree into ONE ring launch; the
+        reduced tree must match leaf-wise psum."""
+        import functools
+
+        from jax.sharding import PartitionSpec as PS
+
+        from sdf3d_tpu.parallel.collectives import pallas_psum_tree
+        from sdf3d_tpu.parallel.mesh import tile_axis
+
+        rng = np.random.default_rng(3)
+        tree = {
+            "w": jnp.asarray(rng.standard_normal((8, 4, 5)), jnp.float32),
+            "b": jnp.asarray(rng.standard_normal((8,)), jnp.float32),
+            "nested": (jnp.asarray(rng.standard_normal((8, 130)), jnp.float32),),
+        }
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh8,
+            in_specs=(jax.tree_util.tree_map(lambda _: PS(tile_axis), tree),),
+            out_specs=jax.tree_util.tree_map(lambda _: PS(tile_axis), tree),
+            check_vma=False,
+        )
+        def f(local):
+            local = jax.tree_util.tree_map(lambda x: x[0], local)
+            red = pallas_psum_tree(local, 8, interpret=True)
+            return jax.tree_util.tree_map(lambda x: x[None], red)
+
+        out = f(tree)
+        for k, leaf in (("w", tree["w"]), ("b", tree["b"]), ("nested", tree["nested"][0])):
+            got = out[k][0] if k != "nested" else out[k][0][0]
+            want = jnp.sum(leaf, axis=0)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
     def test_loss_and_grad_with_ring_allreduce(self, mesh8):
         o, d = camera_rays(CAM, CFG.width, CFG.height)
         target = s.render(s.reference_scene(), CAM, LIGHT, MAT, CFG)
