@@ -130,9 +130,20 @@ def run_benchmark(
         # parameter update per step — serial data dependence between frames).
         target = jnp.zeros((height, width, 3), jnp.float32)
 
-        def loss(sc):
-            img = render_one(sc, cam)
-            return jnp.sum((img - target) ** 2)
+        if engine == "pallas":
+            # fit.py's engine='pallas' L2 path: the fused loss+grad kernel
+            # (ops/fit_kernel.py) — no XLA loss/cotangent pass.
+            from sdf3d_tpu.ops.fit_kernel import l2_loss_and_grads
+
+            def value_and_grad_loss(sc):
+                loss_val, grads = l2_loss_and_grads(cfg, pc, sc, cam, light, mat, target)
+                return loss_val, grads[0]
+        else:
+            def loss(sc):
+                img = render_one(sc, cam)
+                return jnp.sum((img - target) ** 2)
+
+            value_and_grad_loss = jax.value_and_grad(loss)
 
         # The per-step update keeps frames serially dependent (no hoisting)
         # but its scale must be negligible: a real step size deforms the
@@ -142,7 +153,7 @@ def run_benchmark(
         @jax.jit
         def fn(sc):
             def body(sc_, _):
-                val, g = jax.value_and_grad(loss)(sc_)
+                val, g = value_and_grad_loss(sc_)
                 sc_ = jax.tree_util.tree_map(lambda p, gg: p - 1e-30 * gg, sc_, g)
                 return sc_, val
 

@@ -194,6 +194,51 @@ def render_pallas_sharded(
     return out if planar else jnp.transpose(out, (1, 2, 0))
 
 
+def fused_loss_and_grad_sharded(
+    vag_fn: Callable[..., tuple],
+    mesh: Mesh,
+    allreduce: str = "psum",
+):
+    """Mesh-parallelize a per-slab ``(loss, grads)`` function.
+
+    ``vag_fn(scene, origins_slab, directions_slab, target_slab)`` returns the
+    slab's summed loss *and* its gradients directly (e.g. the fused Pallas
+    loss+grad kernel, ops/fit_kernel.py — no jax AD at this level).  Loss and
+    gradients are all-reduced over the mesh, so every device holds identical
+    replicated values; the optimizer then runs replicated with no further
+    communication (the all-reduce is the workload's only collective).
+    """
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            _REPLICATED,
+            P(tile_axis, None, None),
+            P(tile_axis, None, None),
+            P(tile_axis, None, None),
+        ),
+        out_specs=(_REPLICATED, _REPLICATED),
+    )
+    def shard_fn(scene_, o_slab, d_slab, target_slab):
+        loss, grads = vag_fn(scene_, o_slab, d_slab, target_slab)
+        loss = jax.lax.psum(loss, tile_axis)
+        if allreduce == "psum":
+            grads = jax.lax.psum(grads, tile_axis)
+        elif allreduce in ("pallas_ring", "pallas_ring_interpret"):
+            from sdf3d_tpu.parallel.collectives import pallas_psum_tree
+
+            grads = pallas_psum_tree(
+                grads, mesh.shape[tile_axis],
+                interpret=(allreduce == "pallas_ring_interpret"),
+            )
+        else:
+            raise ValueError(f"unknown allreduce {allreduce!r}")
+        return loss, grads
+
+    return shard_fn
+
+
 def loss_and_grad_sharded(
     loss_fn: Callable[..., jnp.ndarray],
     mesh: Mesh,
@@ -210,31 +255,7 @@ def loss_and_grad_sharded(
     further communication (the psum is the workload's only collective).
     """
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(
-            _REPLICATED,
-            P(tile_axis, None, None),
-            P(tile_axis, None, None),
-            P(tile_axis, None, None),
-        ),
-        out_specs=(_REPLICATED, _REPLICATED),
-    )
-    def shard_fn(scene_, o_slab, d_slab, target_slab):
-        loss, grads = jax.value_and_grad(loss_fn)(scene_, o_slab, d_slab, target_slab)
-        loss = jax.lax.psum(loss, tile_axis)
-        if allreduce == "psum":
-            grads = jax.lax.psum(grads, tile_axis)
-        elif allreduce in ("pallas_ring", "pallas_ring_interpret"):
-            from sdf3d_tpu.parallel.collectives import pallas_psum_tree
+    def vag_fn(scene_, o_slab, d_slab, target_slab):
+        return jax.value_and_grad(loss_fn)(scene_, o_slab, d_slab, target_slab)
 
-            grads = pallas_psum_tree(
-                grads, mesh.shape[tile_axis],
-                interpret=(allreduce == "pallas_ring_interpret"),
-            )
-        else:
-            raise ValueError(f"unknown allreduce {allreduce!r}")
-        return loss, grads
-
-    return shard_fn
+    return fused_loss_and_grad_sharded(vag_fn, mesh, allreduce)

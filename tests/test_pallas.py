@@ -276,6 +276,64 @@ class TestFusedBackwardKernel:
             np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-5 * max(1.0, np.abs(b).max()))
 
 
+class TestFusedLossGradKernel:
+    """ops/fit_kernel.py: the fused L2 loss+grad kernel must reproduce
+    jax.value_and_grad through render_pallas exactly (same math, no XLA
+    loss/cotangent pass), including padded tiles and sharded slabs."""
+
+    def _scene_and_target(self, cfg):
+        scene = s.sdf.union(
+            s.sdf.ground_plane(), s.sdf.sphere(center=(0.0, 0.4, 0.0), radius=0.25)
+        )
+        target = s.render(s.reference_scene(), CAM, LIGHT, MAT, cfg)
+        return scene, target
+
+    def _reference_vag(self, cfg, pc, scene, target):
+        def loss(sc, cam_, light_, mat_):
+            img = render_pallas(cfg, pc, sc, cam_, light_, mat_)
+            return jnp.sum((img - target) ** 2)
+
+        l, g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(scene, CAM, LIGHT, MAT)
+        return l, g
+
+    @pytest.mark.smoke
+    def test_matches_generic_value_and_grad(self):
+        from sdf3d_tpu.ops.fit_kernel import l2_loss_and_grads
+
+        scene, target = self._scene_and_target(CFG)
+        l_f, g_f = l2_loss_and_grads(CFG, PC_EXACT, scene, CAM, LIGHT, MAT, target)
+        l_r, g_r = self._reference_vag(CFG, PC_EXACT, scene, target)
+        assert float(l_f) == pytest.approx(float(l_r), rel=1e-6)
+        for gf, gr in zip(jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_r)):
+            a, b = np.asarray(gf), np.asarray(gr)
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5 * max(1.0, np.abs(b).max()))
+
+    def test_padded_tiles_masked(self):
+        """Width/height not tile multiples: padding lanes (whose target is
+        zero-padded) must contribute exactly nothing."""
+        from sdf3d_tpu.ops.fit_kernel import l2_loss_and_grads
+
+        cfg = dataclasses.replace(CFG, width=100, height=70)  # 100%128, 70%8
+        scene, target = self._scene_and_target(cfg)
+        l_f, g_f = l2_loss_and_grads(cfg, PC_EXACT, scene, CAM, LIGHT, MAT, target)
+        l_r, g_r = self._reference_vag(cfg, PC_EXACT, scene, target)
+        assert float(l_f) == pytest.approx(float(l_r), rel=1e-6)
+        for gf, gr in zip(jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_r)):
+            a, b = np.asarray(gf), np.asarray(gr)
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5 * max(1.0, np.abs(b).max()))
+
+    def test_eligibility_gate(self):
+        from sdf3d_tpu.config import ShadowConfig
+        from sdf3d_tpu.ops.fit_kernel import fused_l2_eligible
+
+        scene, _ = self._scene_and_target(CFG)
+        assert fused_l2_eligible(CFG, scene)
+        cfg_ad = dataclasses.replace(
+            CFG, shadow=dataclasses.replace(CFG.shadow, grad="ad")
+        )
+        assert not fused_l2_eligible(cfg_ad, scene)
+
+
 class TestPallasShadowADGradients:
     """ShadowConfig.grad == 'ad' on the pallas engine: penumbra-shape
     gradients flow (VERDICT r1 item 4).  FD-validated on shadowed pixels."""

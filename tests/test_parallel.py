@@ -160,6 +160,43 @@ class TestShardedPallasGradients:
         gx, _ = fu.ravel_pytree(g_xla)
         np.testing.assert_allclose(np.asarray(gs), np.asarray(gx), rtol=5e-3, atol=1e-3)
 
+    @pytest.mark.parametrize("interleaved", [False, True])
+    def test_fused_loss_grad_sharded_matches_unsharded(self, mesh8, interleaved):
+        """The fused L2 loss+grad kernel (ops/fit_kernel.py) under shard_map:
+        per-slab fused loss/grads psum to the unsharded fused values."""
+        from sdf3d_tpu.ops.fit_kernel import l2_loss_and_grads
+        from sdf3d_tpu.parallel.mesh import tile_axis
+        from sdf3d_tpu.parallel.shard_render import (
+            fused_loss_and_grad_sharded,
+            interleave_rows,
+        )
+
+        cfg, scene, target = self._setup()
+        pc = PallasRenderConfig(tile_h=8, tile_w=128, interpret=True)
+        n, th = 8, pc.tile_h
+        slab = cfg.height // n
+        slab_cfg = dataclasses.replace(cfg, height=slab, ndc_height=cfg.height)
+
+        def slab_vag(scene_, o_, d_, tgt_):
+            idx = jax.lax.axis_index(tile_axis)
+            if interleaved:
+                row0, stride = (idx * th).astype(jnp.float32), jnp.float32(n * th)
+            else:
+                row0, stride = (idx * slab).astype(jnp.float32), jnp.float32(th)
+            loss, grads = l2_loss_and_grads(
+                slab_cfg, pc, scene_, CAM, LIGHT, MAT, tgt_, row0, stride
+            )
+            return loss, grads[0]
+
+        o, d = camera_rays(CAM, cfg.width, cfg.height)
+        tgt = interleave_rows(target, n, th) if interleaved else target
+        l_sh, g_sh = fused_loss_and_grad_sharded(slab_vag, mesh8)(scene, o, d, tgt)
+        l_un, (g_un, *_) = l2_loss_and_grads(cfg, pc, scene, CAM, LIGHT, MAT, target)
+        assert float(l_sh) == pytest.approx(float(l_un), rel=1e-5)
+        gs, _ = fu.ravel_pytree(g_sh)
+        gu, _ = fu.ravel_pytree(g_un)
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gu), rtol=1e-4, atol=1e-6)
+
     def test_interleave_roundtrip(self):
         from sdf3d_tpu.parallel.shard_render import deinterleave_rows, interleave_rows
 
