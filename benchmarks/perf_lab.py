@@ -53,6 +53,22 @@ def make_fn(cfg, pc, mode="fwd", scene_name="reference"):
                 return jax.tree_util.tree_unflatten(td, leaves), m
 
             return jax.lax.scan(body, sc, None, length=FRAMES)[1]
+    elif mode == "fit":
+        # The single-launch fused fit step (ops/fit_kernel.py) — the exact
+        # bench.py fwd_bwd workload.
+        from sdf3d_tpu.ops.fit_kernel import l2_loss_and_grads
+
+        target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+        @jax.jit
+        def fn(sc):
+            def body(sc_, _):
+                val, (g, *_ignored) = l2_loss_and_grads(
+                    cfg, pc, sc_, cam, light, mat, target, wrt_uniforms=False
+                )
+                return jax.tree_util.tree_map(lambda p, gg: p - 1e-30 * gg, sc_, g), val
+
+            return jax.lax.scan(body, sc, None, length=FRAMES)[1]
     else:
         target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
 
@@ -145,10 +161,37 @@ def suite_refcam(cfg):
     }
 
 
+def suite_fit_tiles(cfg):
+    """Tile/check sweep for the single-launch fused fit kernel (the bench.py
+    fwd_bwd workload) — the bwd AD section shifts the optimum vs fwd-only."""
+    cases = {}
+    for th, tw in [(16, 512), (8, 512), (32, 512), (16, 1024), (8, 1024), (16, 256)]:
+        cases[f"fit_{th}x{tw}"] = (cfg, PallasRenderConfig(tile_h=th, tile_w=tw), "fit")
+    for c in [10, 25, 50]:
+        cases[f"fit_chk{c}"] = (cfg, PallasRenderConfig(check_every=c), "fit")
+    return cases
+
+
+def suite_fit_stages(cfg):
+    """Stage isolation for the fused fit kernel: clamp each march to 1 step
+    to separate march / shadow / AD-shading costs."""
+    m1 = dataclasses.replace(cfg, march=dataclasses.replace(cfg.march, max_steps=1))
+    s1 = dataclasses.replace(cfg, shadow=dataclasses.replace(cfg.shadow, max_steps=1))
+    both = dataclasses.replace(m1, shadow=dataclasses.replace(cfg.shadow, max_steps=1))
+    pc = PallasRenderConfig()
+    return {
+        "fit_full": (cfg, pc, "fit"),
+        "fit_march1": (m1, pc, "fit"),
+        "fit_shadow1": (s1, pc, "fit"),
+        "fit_march1_shadow1": (both, pc, "fit"),
+        "fwd_full": (cfg, pc, "fwd_scan"),
+    }
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "stages"
     cfg = dataclasses.replace(s.REFERENCE_CONFIG, width=1920, height=1080)
-    suites = {"tiles": suite_tiles, "check": suite_check, "stages": suite_stages, "breakdown": suite_breakdown, "refcam": suite_refcam}
+    suites = {"tiles": suite_tiles, "check": suite_check, "stages": suite_stages, "breakdown": suite_breakdown, "refcam": suite_refcam, "fit_tiles": suite_fit_tiles, "fit_stages": suite_fit_stages}
     if which == "all":
         for name, fn in suites.items():
             print(f"--- {name} ---")

@@ -58,6 +58,54 @@ def robust_min_seconds(
     return min(times)
 
 
+def robust_slope_seconds_per_frame(
+    make_fn,
+    args,
+    k_small: int,
+    k_large: int,
+    iters: int = 4,
+    min_rounds: int = 8,
+    max_rounds: int = 30,
+    agree_tol: float = 0.05,
+) -> float:
+    """Per-frame seconds by two-point differencing: time a ``k_small``-frame
+    and a ``k_large``-frame pipelined dispatch and divide the *difference* by
+    the extra frames.
+
+    A timed window unavoidably includes constant overhead — the forced host
+    sync (~10s of ms through the relay) and the dispatch floor — which a
+    single-point window attributes to the frames: measured here, a K=16
+    window read 2.76 ms/frame where the true steady state is ~1.9 (the
+    constant was ~33 ms).  Production fits scan hundreds of steps per
+    dispatch, so the constant amortizes to zero there and the slope is the
+    honest sustained number.  Both K's are sampled *interleaved* per round
+    (a tenancy slow-window hits both or neither) with the same min-corrobor-
+    ation rule as :func:`robust_min_seconds` applied to the slope.
+    """
+    from sdf3d_tpu.utils.profiling import benchmark_fn
+
+    fn_s, fn_l = make_fn(k_small), make_fn(k_large)
+    slopes: list[float] = []
+    t_s = benchmark_fn(fn_s, *args, warmup=2, iters=iters)
+    t_l = benchmark_fn(fn_l, *args, warmup=2, iters=iters)
+    slopes.append((t_l - t_s) / (k_large - k_small))
+    while True:
+        if len(slopes) >= min_rounds:
+            best = sorted(s for s in slopes if s > 0)
+            if len(best) >= 2 and best[1] <= best[0] * (1.0 + agree_tol):
+                break
+        if len(slopes) >= max_rounds:
+            break
+        t_s = benchmark_fn(fn_s, *args, warmup=0, iters=iters)
+        t_l = benchmark_fn(fn_l, *args, warmup=0, iters=iters)
+        slopes.append((t_l - t_s) / (k_large - k_small))
+        time.sleep(0.05)
+    positive = [s for s in slopes if s > 0]
+    if not positive:  # pathological (all-noise) — conservative fallback
+        return t_l / k_large
+    return min(positive)
+
+
 def run_benchmark(
     width: int = 1920,
     height: int = 1080,
@@ -111,9 +159,6 @@ def run_benchmark(
 
     if mode == "fwd":
         # Turntable: K distinct camera poses per dispatch (render_batch shape).
-        cams = [s.Camera.orbit(azimuth_deg=360.0 * k / K) for k in range(K)]
-        cameras = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
-
         if engine == "pallas":
             from sdf3d_tpu.ops.render_kernel import render_kernel_forward
 
@@ -123,20 +168,27 @@ def run_benchmark(
             def one(c):
                 return s.render(scene, c, light, mat, cfg).mean()
 
-        fn = jax.jit(lambda cams_: jax.lax.map(one, cams_))
-        args = (cameras,)
+        def make_fn(k):
+            cams = [s.Camera.orbit(azimuth_deg=360.0 * i / k) for i in range(k)]
+            cameras = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
+            return jax.jit(lambda _sc: jax.lax.map(one, cameras))
+
+        args = (scene,)
     else:
         # K-step fit chunk: the fit.py run_chunk hot loop (lax.scan with a
         # parameter update per step — serial data dependence between frames).
         target = jnp.zeros((height, width, 3), jnp.float32)
 
         if engine == "pallas":
-            # fit.py's engine='pallas' L2 path: the fused loss+grad kernel
-            # (ops/fit_kernel.py) — no XLA loss/cotangent pass.
+            # fit.py's engine='pallas' L2 path: the fused single-launch
+            # loss+grad kernel (ops/fit_kernel.py) — no XLA loss/cotangent
+            # pass; uniform grads skipped (fit consumes scene grads only).
             from sdf3d_tpu.ops.fit_kernel import l2_loss_and_grads
 
             def value_and_grad_loss(sc):
-                loss_val, grads = l2_loss_and_grads(cfg, pc, sc, cam, light, mat, target)
+                loss_val, grads = l2_loss_and_grads(
+                    cfg, pc, sc, cam, light, mat, target, wrt_uniforms=False
+                )
                 return loss_val, grads[0]
         else:
             def loss(sc):
@@ -150,22 +202,30 @@ def run_benchmark(
         # scene away from the reference workload — march step counts change
         # and the metric stops measuring the benchmark scene (observed:
         # lr=1e-7 inflated the forward kernel 1.8 -> 3.1 ms/frame).
-        @jax.jit
-        def fn(sc):
-            def body(sc_, _):
-                val, g = value_and_grad_loss(sc_)
-                sc_ = jax.tree_util.tree_map(lambda p, gg: p - 1e-30 * gg, sc_, g)
-                return sc_, val
+        def make_fn(k):
+            @jax.jit
+            def fn(sc):
+                def body(sc_, _):
+                    val, g = value_and_grad_loss(sc_)
+                    sc_ = jax.tree_util.tree_map(lambda p, gg: p - 1e-30 * gg, sc_, g)
+                    return sc_, val
 
-            _, vals = jax.lax.scan(body, sc, None, length=K)
-            return vals
+                _, vals = jax.lax.scan(body, sc, None, length=k)
+                return vals
+
+            return fn
 
         args = (scene,)
 
-    # Min over many spread-out amortized windows with two-window agreement:
-    # the honest sustained-throughput estimate on a chip with transient
-    # multi-second slow periods (see robust_min_seconds).
-    seconds = robust_min_seconds(fn, *args, iters=max(1, iters // 4)) / K
+    if K >= 4:
+        # Two-point slope: subtracts the constant window overhead (forced
+        # sync + dispatch floor) exactly — see robust_slope_seconds_per_frame.
+        seconds = robust_slope_seconds_per_frame(
+            make_fn, args, k_small=K, k_large=4 * K, iters=max(1, iters // 2)
+        )
+    else:
+        # Cheap path (CPU fallback): single-point amortized windows.
+        seconds = robust_min_seconds(make_fn(K), *args, iters=max(1, iters // 4)) / K
     rays_s = width * height / seconds
     # Report the device compute actually ran on (jax_default_device may
     # redirect away from default_backend()).

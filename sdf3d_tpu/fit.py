@@ -260,7 +260,8 @@ def fit_scene(
                 def slab_vag(scene_, o_, d_, tgt_):
                     row0, stride = _slab_row0_stride()
                     loss, grads = l2_loss_and_grads(
-                        slab_cfg, pc, scene_, camera, light, mat, tgt_, row0, stride
+                        slab_cfg, pc, scene_, camera, light, mat, tgt_, row0, stride,
+                        wrt_uniforms=False,
                     )
                     return loss, grads[0]
 
@@ -290,7 +291,8 @@ def fit_scene(
         elif use_fused_loss:
             def value_and_grad(scene_, o_, d_, tgt_):
                 loss, grads = l2_loss_and_grads(
-                    render_config, pc, scene_, camera, light, mat, tgt_
+                    render_config, pc, scene_, camera, light, mat, tgt_,
+                    wrt_uniforms=False,
                 )
                 return loss, grads[0]
         else:

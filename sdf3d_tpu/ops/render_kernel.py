@@ -129,42 +129,33 @@ def _rsqrt(x):
     return jax.lax.rsqrt(x)
 
 
-def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, soa_ray, mat_soa, n_params, cfg: RenderConfig, pc: PallasRenderConfig):
-    """Kernel body. ``soa(px,py,pz,getp)`` is the compiled scene program."""
-    TH, TW = pc.tile_h, pc.tile_w
-    # NDC spans the logical image; under sharding a slab emits cfg.height rows
-    # of an ndc_height-tall image (offset via the row0 uniform).
-    H = cfg.ndc_height or cfg.height
-    W = cfg.ndc_width or cfg.width
+def _tile_pixel_planes(uni, TH, TW):
+    """Absolute (rows, cols) pixel-index planes for the current grid tile.
+
+    row0/rowstride map the tile to absolute image rows: contiguous slabs
+    use stride == TH; interleaved row-block sharding strides tiles by
+    n_devices*TH so each device sees a representative row mix.
+    """
     f32 = jnp.float32
-
-    # Hoist every SMEM parameter read to the kernel preamble: the scene
-    # program evaluates ``getp`` inside the march loops (100s of times), and
-    # loop-invariant SMEM loads are cheaper guaranteed-hoisted here than
-    # left to the compiler.
-    prm_vals = [prm[k] for k in range(n_params)]
-
-    def getp(k):
-        return prm_vals[k]
-
-    def sdf(px, py, pz):
-        return soa(px, py, pz, getp)
-
     i = pl.program_id(0)
     j = pl.program_id(1)
-    # row0/rowstride map this tile to absolute image rows: contiguous slabs
-    # use stride == TH; interleaved row-block sharding strides tiles by
-    # n_devices*TH so each device sees a representative row mix.
     rows = uni[_U_ROW0] + i.astype(f32) * uni[_U_ROWSTRIDE] + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0).astype(f32)
     cols = (j * TW + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1)).astype(f32)
-    # NDC uses the *logical* W/H — padded tiles produce off-screen rays that
-    # are cropped by the caller.
+    return rows, cols
+
+
+def _tile_rays(uni, rows, cols, cfg, TH, TW):
+    """Ray generation for one tile: returns origin scalars and direction
+    planes.  NDC uses the *logical* W/H (padded tiles produce off-screen rays
+    cropped by the caller); camera-frame ray normalized, rotated to world by
+    c2w, re-normalized (parity with voxel_fragment.frag:191-192)."""
+    f32 = jnp.float32
+    H = cfg.ndc_height or cfg.height
+    W = cfg.ndc_width or cfg.width
     qx = (2.0 * (cols + 0.5) / f32(W)) - 1.0
     qy = 1.0 - (2.0 * (rows + 0.5) / f32(H))
     ar = f32(W / H)
 
-    # Camera-frame ray, normalized; rotated to world by c2w; re-normalized
-    # (parity with voxel_fragment.frag:191-192).
     vx = qx * ar
     vy = qy
     vz = jnp.full((TH, TW), uni[_U_FZ], f32)
@@ -178,25 +169,18 @@ def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, soa_ra
     dx, dy, dz = dx * inv2, dy * inv2, dz * inv2
 
     ox, oy, oz = uni[_U_CAM], uni[_U_CAM + 1], uni[_U_CAM + 2]
+    return (ox, oy, oz), (dx, dy, dz)
 
-    # ---- primary march (voxel_fragment.frag:86-103 semantics) ----
-    # Lane masks are carried as f32 0/1 planes: Mosaic cannot legalize
-    # vector<i1> carries through scf.while (loop yields fail to lower), and
-    # the loop condition reduces the mask with max() so only a *scalar*
-    # boolean ever crosses an iteration boundary.
-    mc = cfg.march
-    chk = max(1, pc.check_every)
 
-    # Ray-parameterized scene program (pc.ray_sdf): per-ray constants are
-    # hoisted out of the loop and each step evaluates distance directly
-    # from t (scene_program.py ray emitters — plane = 1 FMA, sphere = 2 FMA
-    # + sqrt, no per-step position math).  Point form is the bit-exact
-    # fallback.
-    if pc.ray_sdf:
-        ev_primary = soa_ray((ox, oy, oz), (dx, dy, dz), getp)
-    else:
-        def ev_primary(t):
-            return sdf(ox + t * dx, oy + t * dy, oz + t * dz)
+def _march_primary(ev_primary, mc, chk, TH, TW):
+    """Primary sphere-trace march (voxel_fragment.frag:86-103 semantics).
+
+    Lane masks are carried as f32 0/1 planes: Mosaic cannot legalize
+    vector<i1> carries through scf.while (loop yields fail to lower), and
+    the loop condition reduces the mask with max() so only a *scalar*
+    boolean ever crosses an iteration boundary.
+    """
+    f32 = jnp.float32
 
     def march_cond(state):
         step, _, active = state
@@ -270,11 +254,12 @@ def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, soa_ra
             march_body,
             (jnp.int32(0), jnp.zeros((TH, TW), f32), jnp.ones((TH, TW), f32)),
         )
+    return t
 
-    hx, hy, hz = ox + t * dx, oy + t * dy, oz + t * dz
 
-    # ---- normals ----
-    e = f32(mc.epsilon)
+def _tile_normals(sdf, hx, hy, hz, cfg):
+    """Normalized surface normal at the hit point (central or tetrahedron)."""
+    e = jnp.float32(cfg.march.epsilon)
     if cfg.normals == "central":
         nx = sdf(hx + e, hy, hz) - sdf(hx - e, hy, hz)
         ny = sdf(hx, hy + e, hz) - sdf(hx, hy - e, hz)
@@ -291,7 +276,112 @@ def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, soa_ra
     else:  # pragma: no cover - validated by RenderConfig
         raise ValueError(f"pallas path supports central/tetrahedron normals, not {cfg.normals!r}")
     ninv = _rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-24))
-    nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
+    return nx * ninv, ny * ninv, nz * ninv
+
+
+def _march_shadow(ev_shadow, uni, cfg, chk, ndoti, TH, TW):
+    """Soft shadow march (voxel_fragment.frag:105-132 semantics).
+
+    ndoti gates the march: the shadow factor only ever multiplies
+    ``clamp(dot(N,I),0,1)`` (frag:205), so lanes with dot(N,I) <= 0 (sky
+    shaded at the far point, back-facing surfaces) produce *identical*
+    images whether marched or not — those lanes start inactive, and
+    whole-sky tiles skip the march at the first convergence check.  Their
+    shadow plane reads 1.0 (the factor is undefined-by-unused there).
+    """
+    f32 = jnp.float32
+    mc = cfg.march
+    k = uni[_U_K]
+
+    def sh_cond(state):
+        step, _, _, _, active = state
+        return jnp.logical_and(step < cfg.shadow.max_steps, jnp.max(active) > 0.5)
+
+    k2 = k * k
+    eps2 = mc.epsilon * mc.epsilon
+
+    def sh_body(state):
+        # Runs in the *squared*-attenuation domain: tracking
+        # sh² = min(sh², k²·d²/denom²) is order-identical to the
+        # reference's sh = min(sh, k·√d²/denom) (min commutes with the
+        # monotonic sqrt; one sqrt at loop exit replaces one per step).
+        # The per-ray early-out ``sh < ε`` becomes ``sh² < ε²`` exactly.
+        # First-step semantics (reference: intersection = 0) fall out of
+        # the prev = +inf init: s²/(2·inf) == 0.
+        step, dist, prev, sh2, active = state
+        for i in range(chk):
+            s = ev_shadow(dist)
+            s2 = s * s
+            inter = s2 / (2.0 * jnp.where(prev == 0.0, 1e-30, prev))
+            d2 = s2 - inter * inter
+            denom = dist - inter
+            valid = (denom > 0.0) & (d2 >= 0.0)
+            att2 = jnp.where(valid, k2 * jnp.maximum(d2, 0.0) / (denom * denom), 1e30)
+            take = active > 0.5
+            if cfg.shadow.max_steps % chk != 0:
+                take = take & (step + i < cfg.shadow.max_steps)
+                eff = jnp.where(take, active, 0.0)
+            else:
+                eff = active
+            sh2 = jnp.where(take, jnp.minimum(sh2, att2), sh2)
+            dist = dist + eff * s
+            prev = jnp.where(take, s, prev)
+            active = jnp.where((dist > mc.max_distance) | (sh2 < eps2), 0.0, active)
+        return step + chk, dist, prev, sh2, active
+
+    _, _, _, shadow2, _ = jax.lax.while_loop(
+        sh_cond,
+        sh_body,
+        (
+            jnp.int32(0),
+            jnp.zeros((TH, TW), f32),
+            jnp.full((TH, TW), jnp.inf, f32),
+            jnp.ones((TH, TW), f32),
+            jnp.where(ndoti > 0.0, 1.0, 0.0).astype(f32),
+        ),
+    )
+    return jnp.sqrt(jnp.clip(shadow2, 0.0, 1.0))
+
+
+def _tile_ao(sdf, hx, hy, hz, nx, ny, nz, cfg, TH, TW):
+    """Ambient-occlusion factor (optional; north-star capability)."""
+    occ = jnp.zeros((TH, TW), jnp.float32)
+    weight = 1.0
+    for tap in range(1, cfg.ao.samples + 1):
+        h = cfg.ao.step * tap
+        sa = sdf(hx + h * nx, hy + h * ny, hz + h * nz)
+        occ = occ + weight * (h - sa)
+        weight *= cfg.ao.falloff
+    return jnp.clip(1.0 - cfg.ao.strength * occ, 0.0, 1.0)
+
+
+def _tile_primal(uni, getp, sdf, soa_ray, rows, cols, cfg, pc):
+    """The full primal pipeline for one tile: rays → march → normals →
+    shadow → AO.  Shared by the forward kernel and the fused fit kernel
+    (ops/fit_kernel.py).  Returns (origin, direction, t, normals, incident,
+    shadow, ao) — everything the shading stage consumes."""
+    TH, TW = pc.tile_h, pc.tile_w
+    f32 = jnp.float32
+    mc = cfg.march
+    chk = max(1, pc.check_every)
+
+    (ox, oy, oz), (dx, dy, dz) = _tile_rays(uni, rows, cols, cfg, TH, TW)
+
+    # Ray-parameterized scene program (pc.ray_sdf): per-ray constants are
+    # hoisted out of the loop and each step evaluates distance directly
+    # from t (scene_program.py ray emitters — plane = 1 FMA, sphere = 2 FMA
+    # + sqrt, no per-step position math).  Point form is the bit-exact
+    # fallback.
+    if pc.ray_sdf:
+        ev_primary = soa_ray((ox, oy, oz), (dx, dy, dz), getp)
+    else:
+        def ev_primary(t):
+            return sdf(ox + t * dx, oy + t * dy, oz + t * dz)
+
+    t = _march_primary(ev_primary, mc, chk, TH, TW)
+
+    hx, hy, hz = ox + t * dx, oy + t * dy, oz + t * dz
+    nx, ny, nz = _tile_normals(sdf, hx, hy, hz, cfg)
 
     # ---- incident light direction ----
     lx, ly, lz = uni[_U_LIGHT], uni[_U_LIGHT + 1], uni[_U_LIGHT + 2]
@@ -299,86 +389,52 @@ def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, soa_ra
     iinv = _rsqrt(jnp.maximum(ix * ix + iy * iy + iz * iz, 1e-24))
     ix, iy, iz = ix * iinv, iy * iinv, iz * iinv
 
-    # ---- soft shadow march (voxel_fragment.frag:105-132 semantics) ----
-    # ndoti gates the march: the shadow factor only ever multiplies
-    # ``clamp(dot(N,I),0,1)`` (frag:205), so lanes with dot(N,I) <= 0 (sky
-    # shaded at the far point, back-facing surfaces) produce *identical*
-    # images whether marched or not — those lanes start inactive, and
-    # whole-sky tiles skip the march at the first convergence check.  Their
-    # aux shadow plane reads 1.0 (the factor is undefined-by-unused there).
     ndoti = nx * ix + ny * iy + nz * iz
     if cfg.shadow.enabled:
-        k = uni[_U_K]
+        e = f32(mc.epsilon)
         sox, soy, soz = hx + 2.0 * e * nx, hy + 2.0 * e * ny, hz + 2.0 * e * nz
         if pc.ray_sdf:
             ev_shadow = soa_ray((sox, soy, soz), (ix, iy, iz), getp)
         else:
-            def ev_shadow(t):
-                return sdf(sox + t * ix, soy + t * iy, soz + t * iz)
+            def ev_shadow(ts):
+                return sdf(sox + ts * ix, soy + ts * iy, soz + ts * iz)
 
-        def sh_cond(state):
-            step, _, _, _, active = state
-            return jnp.logical_and(step < cfg.shadow.max_steps, jnp.max(active) > 0.5)
-
-        k2 = k * k
-        eps2 = mc.epsilon * mc.epsilon
-
-        def sh_body(state):
-            # Runs in the *squared*-attenuation domain: tracking
-            # sh² = min(sh², k²·d²/denom²) is order-identical to the
-            # reference's sh = min(sh, k·√d²/denom) (min commutes with the
-            # monotonic sqrt; one sqrt at loop exit replaces one per step).
-            # The per-ray early-out ``sh < ε`` becomes ``sh² < ε²`` exactly.
-            # First-step semantics (reference: intersection = 0) fall out of
-            # the prev = +inf init: s²/(2·inf) == 0.
-            step, dist, prev, sh2, active = state
-            for i in range(chk):
-                s = ev_shadow(dist)
-                s2 = s * s
-                inter = s2 / (2.0 * jnp.where(prev == 0.0, 1e-30, prev))
-                d2 = s2 - inter * inter
-                denom = dist - inter
-                valid = (denom > 0.0) & (d2 >= 0.0)
-                att2 = jnp.where(valid, k2 * jnp.maximum(d2, 0.0) / (denom * denom), 1e30)
-                take = active > 0.5
-                if cfg.shadow.max_steps % chk != 0:
-                    take = take & (step + i < cfg.shadow.max_steps)
-                    eff = jnp.where(take, active, 0.0)
-                else:
-                    eff = active
-                sh2 = jnp.where(take, jnp.minimum(sh2, att2), sh2)
-                dist = dist + eff * s
-                prev = jnp.where(take, s, prev)
-                active = jnp.where((dist > mc.max_distance) | (sh2 < eps2), 0.0, active)
-            return step + chk, dist, prev, sh2, active
-
-        _, _, _, shadow2, _ = jax.lax.while_loop(
-            sh_cond,
-            sh_body,
-            (
-                jnp.int32(0),
-                jnp.zeros((TH, TW), f32),
-                jnp.full((TH, TW), jnp.inf, f32),
-                jnp.ones((TH, TW), f32),
-                jnp.where(ndoti > 0.0, 1.0, 0.0).astype(f32),
-            ),
-        )
-        shadow = jnp.sqrt(jnp.clip(shadow2, 0.0, 1.0))
+        shadow = _march_shadow(ev_shadow, uni, cfg, chk, ndoti, TH, TW)
     else:
         shadow = jnp.ones((TH, TW), f32)
 
-    # ---- ambient occlusion (optional; north-star capability) ----
     if cfg.ao.enabled:
-        occ = jnp.zeros((TH, TW), f32)
-        weight = 1.0
-        for tap in range(1, cfg.ao.samples + 1):
-            h = cfg.ao.step * tap
-            sa = sdf(hx + h * nx, hy + h * ny, hz + h * nz)
-            occ = occ + weight * (h - sa)
-            weight *= cfg.ao.falloff
-        ao = jnp.clip(1.0 - cfg.ao.strength * occ, 0.0, 1.0)
+        ao = _tile_ao(sdf, hx, hy, hz, nx, ny, nz, cfg, TH, TW)
     else:
         ao = jnp.ones((TH, TW), f32)
+
+    return (ox, oy, oz), (dx, dy, dz), t, (nx, ny, nz), (ix, iy, iz), shadow, ao
+
+
+def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, soa_ray, mat_soa, n_params, cfg: RenderConfig, pc: PallasRenderConfig):
+    """Kernel body. ``soa(px,py,pz,getp)`` is the compiled scene program."""
+    TH, TW = pc.tile_h, pc.tile_w
+    f32 = jnp.float32
+    mc = cfg.march
+
+    # Hoist every SMEM parameter read to the kernel preamble: the scene
+    # program evaluates ``getp`` inside the march loops (100s of times), and
+    # loop-invariant SMEM loads are cheaper guaranteed-hoisted here than
+    # left to the compiler.
+    prm_vals = [prm[k] for k in range(n_params)]
+
+    def getp(k):
+        return prm_vals[k]
+
+    def sdf(px, py, pz):
+        return soa(px, py, pz, getp)
+
+    rows, cols = _tile_pixel_planes(uni, TH, TW)
+    (ox, oy, oz), (dx, dy, dz), t, (nx, ny, nz), (ix, iy, iz), shadow, ao = _tile_primal(
+        uni, getp, sdf, soa_ray, rows, cols, cfg, pc
+    )
+    hx, hy, hz = ox + t * dx, oy + t * dy, oz + t * dz
+    ndoti = nx * ix + ny * iy + nz * iz
 
     # ---- shading (voxel_fragment.frag:199-210) ----
     wx, wy, wz = ox - hx, oy - hy, oz - hz

@@ -322,6 +322,27 @@ class TestFusedLossGradKernel:
             a, b = np.asarray(gf), np.asarray(gr)
             np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5 * max(1.0, np.abs(b).max()))
 
+    def test_wrt_uniforms_false_scene_grads_only(self):
+        """wrt_uniforms=False (the fit.py/bench scene-fit hot path): scene
+        grads identical to the full path; camera/light/material grads zero."""
+        from sdf3d_tpu.ops.fit_kernel import l2_loss_and_grads
+
+        scene, target = self._scene_and_target(CFG)
+        l_f, g_f = l2_loss_and_grads(
+            CFG, PC_EXACT, scene, CAM, LIGHT, MAT, target, wrt_uniforms=False
+        )
+        l_r, (g_scene_r, *g_uni_r) = l2_loss_and_grads(
+            CFG, PC_EXACT, scene, CAM, LIGHT, MAT, target
+        )
+        assert float(l_f) == pytest.approx(float(l_r), rel=1e-6)
+        for gf, gr in zip(
+            jax.tree_util.tree_leaves(g_f[0]), jax.tree_util.tree_leaves(g_scene_r)
+        ):
+            # Same math; the argnums=0 jaxpr fuses differently → ~1-ulp drift.
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=1e-5)
+        for leaf in jax.tree_util.tree_leaves(g_f[1:]):
+            np.testing.assert_array_equal(np.asarray(leaf), 0.0)
+
     def test_eligibility_gate(self):
         from sdf3d_tpu.config import ShadowConfig
         from sdf3d_tpu.ops.fit_kernel import fused_l2_eligible
