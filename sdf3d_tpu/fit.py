@@ -124,6 +124,15 @@ class FitResult:
     rays_per_second: float
 
 
+@dataclasses.dataclass
+class ViewFitResult:
+    camera: Camera
+    light: PointLight
+    mat: Material
+    losses: list
+    steps_run: int
+
+
 def _make_optimizer(cfg: FitConfig) -> optax.GradientTransformation:
     if cfg.optimizer == "adam":
         return optax.adam(cfg.learning_rate)
@@ -416,3 +425,212 @@ def fit_scene(
     elapsed = time.perf_counter() - t0
     rays_s = n_pixels * steps_run / max(elapsed, 1e-9)
     return FitResult(scene=scene, losses=losses, steps_run=steps_run, rays_per_second=rays_s)
+
+
+def fit_view(
+    target: jnp.ndarray,
+    scene: SDFNode,
+    camera0: Camera,
+    light0: PointLight,
+    mat0: Material,
+    render_config: RenderConfig,
+    fit_config: FitConfig = FitConfig(),
+    optimize: tuple = ("camera",),
+    logger: MetricsLogger | None = None,
+    target_coverage=None,
+) -> ViewFitResult:
+    """Inverse rendering of *view* parameters — camera pose, field of view,
+    light, and/or material — against a target image, with the scene geometry
+    fixed.  The complement of :func:`fit_scene` (which fits geometry under a
+    fixed view); together they cover every differentiable input of the
+    renderer.  No reference counterpart (the reference only *displays*,
+    ``main.cpp:87-98``); classic applications are pose estimation and light/
+    material estimation from photographs.
+
+    **Pose fits want the silhouette term.**  The pixel-L2 gradient through
+    the renderer captures only the *smooth* image dependence (hit points
+    sliding along surfaces); the discontinuous terms — object silhouettes
+    and the ground-plane horizon sweeping across pixels as the camera moves
+    — are invisible to it, and at moderate resolutions they dominate, so a
+    plain-L2 pose fit stalls or drifts (measured: position error *grows* at
+    48×32).  ``fit_config.silhouette_weight > 0`` adds the coverage loss
+    (``diff.coverage`` — smooth in ray origins/directions via the min-SDF
+    implicit VJP), which restores exactly that silhouette-motion gradient;
+    measured at 128×96 it takes the same fit from stalled to a 700× loss
+    reduction.  Supply ``target_coverage`` (H, W) or set
+    ``render_config.background`` so the mask can be inferred.
+
+    ``optimize`` selects parameter groups:
+
+    - ``"camera"`` — eye position + a delta rotation in the SO(3) tangent
+      space (axis-angle composed onto ``camera0.c2w``, so the rotation stays
+      exactly orthonormal at every step and the parameterization is singular-
+      ity-free at the start point).
+    - ``"fov"`` — vertical field of view (degrees).
+    - ``"light"`` — light position and ambient intensity.
+    - ``"material"`` — Blinn-Phong ambient/diffuse/specular/shininess.
+
+    Engines: ``fit_config.engine == "pallas"`` with the plain L2 loss runs
+    the single-launch fused fit kernel (``ops/fit_kernel.py``) with
+    ``wrt_uniforms=True`` and pulls the uniform-vector gradients back through
+    the pose parameterization with one ``jax.vjp``; otherwise gradients come
+    from ``jax.value_and_grad`` through the differentiable renderer (implicit
+    -function VJP w.r.t. ray origins/directions — diff.py).
+    """
+    from sdf3d_tpu.sdf.transforms import rotvec_to_matrix
+
+    target = jnp.asarray(target, jnp.float32)
+    groups = set(optimize)
+    unknown = groups - {"camera", "fov", "light", "material"}
+    if unknown:
+        raise ValueError(f"unknown optimize groups {sorted(unknown)}")
+    if not groups:
+        raise ValueError("optimize must select at least one parameter group")
+
+    params0: dict = {}
+    if "camera" in groups:
+        params0["cam_pos"] = jnp.asarray(camera0.position, jnp.float32)
+        params0["cam_rotvec"] = jnp.zeros(3, jnp.float32)
+    if "fov" in groups:
+        params0["fov_deg"] = jnp.asarray(camera0.fov_deg, jnp.float32)
+    if "light" in groups:
+        params0["light_pos"] = jnp.asarray(light0.position, jnp.float32)
+        params0["light_ambient"] = jnp.asarray(light0.ambient, jnp.float32)
+    if "material" in groups:
+        params0["mat_ambient"] = jnp.asarray(mat0.ambient, jnp.float32)
+        params0["mat_diffuse"] = jnp.asarray(mat0.diffuse, jnp.float32)
+        params0["mat_specular"] = jnp.asarray(mat0.specular, jnp.float32)
+        params0["mat_shininess"] = jnp.asarray(mat0.shininess, jnp.float32)
+
+    def build_view(p: dict):
+        cam = camera0
+        if "camera" in groups:
+            cam = Camera(
+                position=p["cam_pos"],
+                # Delta rotation composed onto the start rotation: exactly
+                # orthonormal for any rotvec, identity at p=0.
+                c2w=rotvec_to_matrix(p["cam_rotvec"]) @ camera0.c2w,
+                fov_deg=cam.fov_deg,
+            )
+        if "fov" in groups:
+            cam = dataclasses.replace(cam, fov_deg=p["fov_deg"])
+        light = light0
+        if "light" in groups:
+            light = dataclasses.replace(
+                light, position=p["light_pos"], ambient=p["light_ambient"]
+            )
+        mat = mat0
+        if "material" in groups:
+            mat = Material(
+                ambient=p["mat_ambient"],
+                diffuse=p["mat_diffuse"],
+                specular=p["mat_specular"],
+                shininess=p["mat_shininess"],
+            )
+        return cam, light, mat
+
+    sil_w = fit_config.silhouette_weight
+    if sil_w > 0.0:
+        if target_coverage is None:
+            if render_config.background is None:
+                raise ValueError(
+                    "silhouette_weight > 0 needs an object mask: pass "
+                    "target_coverage, or set render_config.background so the "
+                    "mask can be inferred from non-background pixels"
+                )
+            bg = jnp.asarray(render_config.background, jnp.float32)
+            target_coverage = (
+                jnp.max(jnp.abs(target - bg), axis=-1) > 1e-3
+            ).astype(jnp.float32)
+        target_coverage = jnp.asarray(target_coverage, jnp.float32)
+
+    def _sil_term(cam):
+        if sil_w <= 0.0:
+            return 0.0
+        o, d = camera_rays(cam, render_config.width, render_config.height, render_config.ray_mode)
+        cov = coverage(render_config.march, scene, o, d, fit_config.silhouette_beta)
+        return sil_w * jnp.sum((cov - target_coverage) ** 2)
+
+    use_fused = False
+    if fit_config.engine == "pallas":
+        from sdf3d_tpu.ops import PallasRenderConfig, render_pallas
+        from sdf3d_tpu.ops.fit_kernel import fused_l2_eligible, l2_loss_and_grads
+
+        if fit_config.pallas_tile is not None:
+            pc = PallasRenderConfig(
+                tile_h=fit_config.pallas_tile[0],
+                tile_w=fit_config.pallas_tile[1],
+                interpret=fit_config.pallas_interpret,
+            )
+        else:
+            pc = PallasRenderConfig(interpret=fit_config.pallas_interpret)
+        use_fused = (
+            fit_config.loss == "l2"
+            and sil_w <= 0.0
+            and fused_l2_eligible(render_config, scene)
+        )
+
+    if use_fused:
+        def value_and_grad(p):
+            (cam, light, mat), view_vjp = jax.vjp(build_view, p)
+            loss, (_g_scene, g_cam, g_light, g_mat) = l2_loss_and_grads(
+                render_config, pc, scene, cam, light, mat, target
+            )
+            (g_p,) = view_vjp((g_cam, g_light, g_mat))
+            return loss, g_p
+    elif fit_config.engine == "pallas":
+        def loss_fn(p):
+            cam, light, mat = build_view(p)
+            img = render_pallas(render_config, pc, scene, cam, light, mat)
+            return pixel_loss(
+                img, target, fit_config.loss, fit_config.pyramid_levels
+            ) + _sil_term(cam)
+
+        value_and_grad = jax.value_and_grad(loss_fn)
+    else:
+        from sdf3d_tpu.diff import render_diff
+
+        def loss_fn(p):
+            cam, light, mat = build_view(p)
+            img = render_diff(scene, cam, light, mat, render_config)
+            return pixel_loss(
+                img, target, fit_config.loss, fit_config.pyramid_levels
+            ) + _sil_term(cam)
+
+        value_and_grad = jax.value_and_grad(loss_fn)
+
+    opt = _make_optimizer(fit_config)
+    opt_state = opt.init(params0)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run_chunk(p, st, n):
+        def body(carry, _):
+            p_, st_ = carry
+            loss, g = value_and_grad(p_)
+            updates, st_ = opt.update(g, st_, p_)
+            p_ = optax.apply_updates(p_, updates)
+            return (p_, st_), loss
+
+        (p, st), chunk_losses = jax.lax.scan(body, (p, st), None, length=n)
+        return p, st, chunk_losses
+
+    params = params0
+    losses: list = []
+    step = 0
+    chunk_cap = fit_config.chunk_steps or max(fit_config.log_every, 1)
+    while step < fit_config.steps:
+        n = min(fit_config.steps, step + chunk_cap) - step
+        params, opt_state, chunk_losses = run_chunk(params, opt_state, n)
+        for i, loss_val in enumerate(jax.device_get(chunk_losses).tolist()):
+            gstep = step + i
+            if gstep % fit_config.log_every == 0 or gstep == fit_config.steps - 1:
+                losses.append(loss_val)
+                if logger is not None:
+                    logger.log(step=gstep, loss=loss_val)
+        step += n
+
+    from sdf3d_tpu.utils.profiling import force_completion
+
+    force_completion(params)
+    cam, light, mat = build_view(params)
+    return ViewFitResult(camera=cam, light=light, mat=mat, losses=losses, steps_run=step)

@@ -72,6 +72,125 @@ class TestFit:
         assert manifest["step"] == 15
 
 
+class TestFitView:
+    """fit_view: inverse rendering of camera pose / light / material with the
+    scene fixed — the complement of fit_scene (docs/components.md)."""
+
+    SCENE = s.sdf.union(
+        s.sdf.ground_plane(), s.sdf.sphere(center=(0.0, 0.4, 0.0), radius=0.2)
+    )
+
+    def _perturbed_camera(self, pert=0.06):
+        from sdf3d_tpu.sdf.transforms import rotvec_to_matrix
+
+        return s.Camera(
+            position=CAM.position + pert * jnp.asarray([1.0, -0.7, 1.3], jnp.float32),
+            c2w=rotvec_to_matrix(pert * jnp.asarray([0.3, 0.8, -0.3], jnp.float32)) @ CAM.c2w,
+            fov_deg=CAM.fov_deg,
+        )
+
+    def _cov_target(self):
+        from sdf3d_tpu.camera import camera_rays
+        from sdf3d_tpu.diff import coverage
+
+        o, d = camera_rays(CAM, CFG.width, CFG.height, CFG.ray_mode)
+        return coverage(CFG.march, self.SCENE, o, d, None)
+
+    def test_recovers_camera_pose_xla(self):
+        """Pose fit with the silhouette term (plain L2 stalls — the smooth
+        gradient misses silhouette/horizon motion; see fit_view docstring)."""
+        target = s.render(self.SCENE, CAM, LIGHT, MAT, CFG)
+        cam0 = self._perturbed_camera()
+        result = s.fit_view(
+            target, self.SCENE, cam0, LIGHT, MAT, CFG,
+            FitConfig(steps=150, learning_rate=2e-3, log_every=25,
+                      silhouette_weight=1.0),
+            optimize=("camera",), target_coverage=self._cov_target(),
+        )
+        assert result.losses[-1] < result.losses[0] * 0.1
+        err0 = float(jnp.linalg.norm(cam0.position - CAM.position))
+        err1 = float(jnp.linalg.norm(result.camera.position - CAM.position))
+        assert err1 < err0 * 0.85
+        # Delta parameterization keeps c2w orthonormal at every step.
+        eye = np.asarray(result.camera.c2w @ result.camera.c2w.T)
+        np.testing.assert_allclose(eye, np.eye(3), atol=1e-5)
+
+    def test_pose_pallas_engine_descends(self):
+        """The pallas engine (render_pallas AD + silhouette term, interpret
+        mode) descends the same objective."""
+        target = s.render(self.SCENE, CAM, LIGHT, MAT, CFG)
+        cam0 = self._perturbed_camera()
+        result = s.fit_view(
+            target, self.SCENE, cam0, LIGHT, MAT, CFG,
+            FitConfig(steps=20, learning_rate=2e-3, log_every=5,
+                      silhouette_weight=1.0,
+                      engine="pallas", pallas_interpret=True, pallas_tile=(8, 128)),
+            optimize=("camera",), target_coverage=self._cov_target(),
+        )
+        assert result.losses[-1] < result.losses[0] * 0.8
+
+    def test_fused_grads_match_ad_through_pose(self):
+        """One step of the fused path's (vjp-chained) pose gradients must
+        match jax.grad through render_pallas + the same parameterization."""
+        from sdf3d_tpu.ops import PallasRenderConfig, render_pallas
+        from sdf3d_tpu.ops.fit_kernel import l2_loss_and_grads
+        from sdf3d_tpu.sdf.transforms import rotvec_to_matrix
+
+        target = s.render(self.SCENE, CAM, LIGHT, MAT, CFG)
+        cam0 = self._perturbed_camera()
+        pc = PallasRenderConfig(tile_h=8, tile_w=128, interpret=True, ray_sdf=False)
+        p0 = {"cam_pos": cam0.position, "cam_rotvec": jnp.zeros(3, jnp.float32)}
+
+        def build(p):
+            return s.Camera(
+                position=p["cam_pos"],
+                c2w=rotvec_to_matrix(p["cam_rotvec"]) @ cam0.c2w,
+                fov_deg=cam0.fov_deg,
+            )
+
+        def fused(p):
+            cam, vjp = jax.vjp(build, p)
+            loss, (_gs, g_cam, _gl, _gm) = l2_loss_and_grads(
+                CFG, pc, self.SCENE, cam, LIGHT, MAT, target
+            )
+            return loss, vjp(g_cam)[0]
+
+        def ad(p):
+            img = render_pallas(CFG, pc, self.SCENE, build(p), LIGHT, MAT)
+            return jnp.sum((img - target) ** 2)
+
+        l_f, g_f = fused(p0)
+        l_a, g_a = jax.value_and_grad(ad)(p0)
+        # In-kernel per-tile reduction orders differ from XLA's plane sum.
+        assert float(l_f) == pytest.approx(float(l_a), rel=1e-5)
+        for k in p0:
+            np.testing.assert_allclose(
+                np.asarray(g_f[k]), np.asarray(g_a[k]), rtol=1e-4,
+                atol=1e-5 * max(1.0, float(jnp.abs(g_a[k]).max())),
+            )
+
+    def test_recovers_light_and_material(self):
+        truth_light = s.point_light(position=(4.0, 6.0, 1.0), ambient=0.15)
+        target = s.render(self.SCENE, CAM, truth_light, MAT, CFG)
+        light0 = s.point_light(position=(5.0, 5.0, 0.0), ambient=0.1)
+        result = s.fit_view(
+            target, self.SCENE, CAM, light0, MAT, CFG,
+            FitConfig(steps=150, learning_rate=2e-2, log_every=50),
+            optimize=("light", "material"),
+        )
+        assert result.losses[-1] < result.losses[0] * 0.05
+        err0 = float(jnp.linalg.norm(light0.position - truth_light.position))
+        err1 = float(jnp.linalg.norm(result.light.position - truth_light.position))
+        assert err1 < err0 * 0.5
+
+    def test_optimize_group_validation(self):
+        target = jnp.zeros((CFG.height, CFG.width, 3), jnp.float32)
+        with pytest.raises(ValueError, match="unknown optimize"):
+            s.fit_view(target, self.SCENE, CAM, LIGHT, MAT, CFG, optimize=("pose",))
+        with pytest.raises(ValueError, match="at least one"):
+            s.fit_view(target, self.SCENE, CAM, LIGHT, MAT, CFG, optimize=())
+
+
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
         state = {"a": jnp.arange(4.0), "b": (jnp.float32(2.0), jnp.ones((2, 2)))}
