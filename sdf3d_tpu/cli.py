@@ -114,6 +114,42 @@ def cmd_fit(args) -> int:
     return 0
 
 
+def cmd_fit_view(args) -> int:
+    import jax.numpy as jnp
+
+    import sdf3d_tpu as s
+    from sdf3d_tpu.camera import camera_rays
+    from sdf3d_tpu.diff import coverage
+    from sdf3d_tpu.fit import FitConfig, fit_view
+    from sdf3d_tpu.sdf.transforms import rotvec_to_matrix
+    from sdf3d_tpu.utils import MetricsLogger
+
+    cfg = _build_config(args)
+    scene = _build_scene(args.scene)
+    light, mat = s.reference_light(), s.reference_material()
+    cam_true = s.Camera.reference()
+    target = s.render(scene, cam_true, light, mat, cfg)
+    o, d = camera_rays(cam_true, cfg.width, cfg.height, cfg.ray_mode)
+    cov_target = coverage(cfg.march, scene, o, d, None)
+
+    cam0 = s.Camera(
+        position=cam_true.position + args.pert * jnp.asarray([1.0, -0.7, 1.3], jnp.float32),
+        c2w=rotvec_to_matrix(args.pert * jnp.asarray([0.3, 0.8, -0.3], jnp.float32)) @ cam_true.c2w,
+        fov_deg=cam_true.fov_deg,
+    )
+    logger = MetricsLogger(args.metrics) if args.metrics else MetricsLogger(echo=True)
+    result = fit_view(
+        target, scene, cam0, light, mat, cfg,
+        FitConfig(steps=args.steps, learning_rate=args.lr, silhouette_weight=1.0),
+        optimize=("camera",), logger=logger, target_coverage=cov_target,
+    )
+    e0 = float(jnp.linalg.norm(cam0.position - cam_true.position))
+    e1 = float(jnp.linalg.norm(result.camera.position - cam_true.position))
+    print(f"final loss {result.losses[-1]:.6f} after {result.steps_run} steps; "
+          f"position error {e0:.4f} -> {e1:.4f}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     from sdf3d_tpu.bench import run_benchmark
 
@@ -165,6 +201,16 @@ def main(argv=None) -> int:
     pf.add_argument("--checkpoint-dir", default=None)
     pf.add_argument("--checkpoint-every", type=int, default=0)
     pf.set_defaults(fn=cmd_fit)
+
+    pv = sub.add_parser("fit-view", help="pose-estimation demo: recover a perturbed camera")
+    pv.add_argument("--scene", default="reference")
+    pv.add_argument("--width", type=int, default=128)
+    pv.add_argument("--height", type=int, default=96)
+    pv.add_argument("--steps", type=int, default=200)
+    pv.add_argument("--lr", type=float, default=2e-3)
+    pv.add_argument("--pert", type=float, default=0.06)
+    pv.add_argument("--metrics", default=None, help="JSONL metrics file")
+    pv.set_defaults(fn=cmd_fit_view)
 
     pb = sub.add_parser("bench", help="throughput benchmark (prints one JSON line)")
     pb.add_argument("--width", type=int, default=0)

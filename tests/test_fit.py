@@ -183,6 +183,28 @@ class TestFitView:
         err1 = float(jnp.linalg.norm(result.light.position - truth_light.position))
         assert err1 < err0 * 0.5
 
+    def test_recovers_fov(self):
+        truth = dataclasses.replace(CAM, fov_deg=jnp.float32(70.0))
+        target = s.render(self.SCENE, truth, LIGHT, MAT, CFG)
+        result = s.fit_view(
+            target, self.SCENE, CAM, LIGHT, MAT, CFG,
+            FitConfig(steps=300, learning_rate=2e-1, log_every=50),
+            optimize=("fov",),
+        )
+        assert result.losses[-1] < result.losses[0] * 0.2
+        assert abs(float(result.camera.fov_deg) - 70.0) < 3.0
+
+    def test_cli_fit_view(self, capsys):
+        from sdf3d_tpu.cli import main as cli_main
+
+        rc = cli_main([
+            "fit-view", "--width", "48", "--height", "32",
+            "--steps", "5", "--lr", "1e-3",
+        ])
+        assert rc == 0
+        outerr = capsys.readouterr()
+        assert "position error" in outerr.out
+
     def test_optimize_group_validation(self):
         target = jnp.zeros((CFG.height, CFG.width, 3), jnp.float32)
         with pytest.raises(ValueError, match="unknown optimize"):
