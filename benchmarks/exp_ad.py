@@ -81,6 +81,22 @@ def make_variant(variant: str, cfg, pc):
         elif variant == "empty_noin":
             # No plane inputs consumed: launch overhead without target DMAs.
             comps = [jnp.sum(mask)]
+        elif variant == "nopow":
+            # Full AD but shininess forced to an integer square chain
+            # (ndoth^12 = ((x^2·x)^2)^2 = 4 muls) — isolates jnp.power cost.
+            import sdf3d_tpu.ops.render_bwd_kernel as rbk
+            orig_power = jnp.power
+
+            def cheap_pow(x, s):
+                x3 = x * x * x
+                return (x3 * x3) * (x3 * x3)
+
+            jnp.power = cheap_pow
+            try:
+                loss, (d_pv, d_uv) = jax.value_and_grad(tile_loss, argnums=(0, 1))(pv, uv)
+            finally:
+                jnp.power = orig_power
+            comps = list(d_pv) + list(d_uv) + [loss]
         elif variant == "shade_only":
             # No marches: t0/shadow/ao faked; AD shading + loss only.
             loss, (d_pv, d_uv) = jax.value_and_grad(
@@ -191,7 +207,7 @@ def main():
     else:
         # check_every=1 so max_steps=1 really means one evaluated step.
         cfg, pc = short, PallasRenderConfig(check_every=1)
-    fns = {v: make_variant(v, cfg, pc) for v in ["full", "empty", "empty_noin", "tgt3", "wrt_p"]}
+    fns = {v: make_variant(v, cfg, pc) for v in ["full", "wrt_p", "nopow", "primal"]}
     best = {v: float("inf") for v in fns}
     for r in range(4):
         for v, (fn, scene) in fns.items():

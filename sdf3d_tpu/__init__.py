@@ -56,7 +56,14 @@ from sdf3d_tpu.scenes import (
     reference_scene,
     sphere_scene,
 )
-from sdf3d_tpu.fit import FitConfig, FitResult, ViewFitResult, fit_scene, fit_view
+from sdf3d_tpu.fit import (
+    FitConfig,
+    FitResult,
+    ViewFitResult,
+    fit_scene,
+    fit_scene_multiview,
+    fit_view,
+)
 from sdf3d_tpu.checkpoint import load_checkpoint, save_checkpoint
 
 __version__ = "0.1.0"
@@ -75,7 +82,7 @@ __all__ = [
     "render_stereo", "stereo_cameras",
     "capsule_chain", "csg_showcase", "flagship_scene", "lattice_scene", "materials_scene",
     "random_blobs", "reference_scene", "sphere_scene",
-    "FitConfig", "FitResult", "ViewFitResult", "fit_scene", "fit_view",
+    "FitConfig", "FitResult", "ViewFitResult", "fit_scene", "fit_scene_multiview", "fit_view",
     "load_checkpoint", "save_checkpoint",
     "__version__",
 ]

@@ -427,6 +427,138 @@ def fit_scene(
     return FitResult(scene=scene, losses=losses, steps_run=steps_run, rays_per_second=rays_s)
 
 
+def fit_scene_multiview(
+    targets,
+    scene0: SDFNode,
+    cameras,
+    light: PointLight,
+    mat: Material,
+    render_config: RenderConfig,
+    fit_config: FitConfig = FitConfig(),
+    logger: MetricsLogger | None = None,
+    trainable=None,
+) -> FitResult:
+    """Fit scene parameters against **several views jointly**: the loss is the
+    sum of per-view pixel losses, so silhouette ambiguities of a single
+    viewpoint (depth/scale trade-offs along the eye ray) are constrained by
+    the others — standard multi-view inverse rendering.  No reference
+    counterpart (single fixed arcball view, ``main.cpp:87-98``).
+
+    ``targets``: sequence of (H, W, 3) arrays; ``cameras``: sequence of
+    :class:`Camera` of the same length (a static view count — each view's
+    render compiles once).  Engines as in :func:`fit_scene`: the pallas
+    engine runs one single-launch fused fit kernel per view per step and sums
+    the gradient vectors; the xla engine differentiates the summed loss.
+    ``trainable`` freezes scene leaves exactly like :func:`fit_scene`.
+    """
+    if len(targets) != len(cameras):
+        raise ValueError(f"{len(targets)} targets vs {len(cameras)} cameras")
+    if len(targets) == 0:
+        raise ValueError("need at least one view")
+    targets = [jnp.asarray(t, jnp.float32) for t in targets]
+
+    if fit_config.engine == "pallas":
+        from sdf3d_tpu.ops import PallasRenderConfig, render_pallas
+        from sdf3d_tpu.ops.fit_kernel import fused_l2_eligible, l2_loss_and_grads
+
+        if fit_config.pallas_tile is not None:
+            pc = PallasRenderConfig(
+                tile_h=fit_config.pallas_tile[0],
+                tile_w=fit_config.pallas_tile[1],
+                interpret=fit_config.pallas_interpret,
+            )
+        else:
+            pc = PallasRenderConfig(interpret=fit_config.pallas_interpret)
+
+        if fit_config.loss == "l2" and fused_l2_eligible(render_config, scene0):
+            def value_and_grad(scene_):
+                total_loss = 0.0
+                total_g = None
+                for cam, tgt in zip(cameras, targets):
+                    loss, grads = l2_loss_and_grads(
+                        render_config, pc, scene_, cam, light, mat, tgt,
+                        wrt_uniforms=False,
+                    )
+                    total_loss = total_loss + loss
+                    g = grads[0]
+                    total_g = g if total_g is None else jax.tree_util.tree_map(
+                        jnp.add, total_g, g
+                    )
+                return total_loss, total_g
+        else:
+            def loss_fn(scene_):
+                return sum(
+                    pixel_loss(
+                        render_pallas(render_config, pc, scene_, cam, light, mat),
+                        tgt, fit_config.loss, fit_config.pyramid_levels,
+                    )
+                    for cam, tgt in zip(cameras, targets)
+                )
+
+            value_and_grad = jax.value_and_grad(loss_fn)
+    else:
+        from sdf3d_tpu.diff import render_diff
+
+        def loss_fn(scene_):
+            return sum(
+                pixel_loss(
+                    render_diff(scene_, cam, light, mat, render_config),
+                    tgt, fit_config.loss, fit_config.pyramid_levels,
+                )
+                for cam, tgt in zip(cameras, targets)
+            )
+
+        value_and_grad = jax.value_and_grad(loss_fn)
+
+    if trainable is not None:
+        mask = jax.tree_util.tree_map(lambda m: jnp.float32(1.0 if m else 0.0), trainable)
+    else:
+        mask = None
+
+    opt = _make_optimizer(fit_config)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run_chunk(scene_, st, n):
+        def body(carry, _):
+            sc, st_ = carry
+            loss, g = value_and_grad(sc)
+            if mask is not None:
+                g = jax.tree_util.tree_map(lambda gg, m: gg * m, g, mask)
+            updates, st_ = opt.update(g, st_, sc)
+            sc = optax.apply_updates(sc, updates)
+            return (sc, st_), loss
+
+        (scene_, st), chunk_losses = jax.lax.scan(body, (scene_, st), None, length=n)
+        return scene_, st, chunk_losses
+
+    scene = scene0
+    opt_state = opt.init(scene)
+    losses: list = []
+    step = 0
+    t0 = time.perf_counter()
+    chunk_cap = fit_config.chunk_steps or max(fit_config.log_every, 1)
+    while step < fit_config.steps:
+        n = min(fit_config.steps, step + chunk_cap) - step
+        scene, opt_state, chunk_losses = run_chunk(scene, opt_state, n)
+        for i, loss_val in enumerate(jax.device_get(chunk_losses).tolist()):
+            gstep = step + i
+            if gstep % fit_config.log_every == 0 or gstep == fit_config.steps - 1:
+                losses.append(loss_val)
+                if logger is not None:
+                    logger.log(step=gstep, loss=loss_val)
+        step += n
+
+    from sdf3d_tpu.utils.profiling import force_completion
+
+    force_completion(scene)
+    elapsed = time.perf_counter() - t0
+    n_rays = render_config.width * render_config.height * len(cameras)
+    return FitResult(
+        scene=scene, losses=losses, steps_run=step,
+        rays_per_second=n_rays * step / max(elapsed, 1e-9),
+    )
+
+
 def fit_view(
     target: jnp.ndarray,
     scene: SDFNode,

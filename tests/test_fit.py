@@ -213,6 +213,93 @@ class TestFitView:
             s.fit_view(target, self.SCENE, CAM, LIGHT, MAT, CFG, optimize=())
 
 
+class TestMultiviewFit:
+    """fit_scene_multiview: joint fit against several camera views."""
+
+    TRUE_SCENE = s.sdf.union(
+        s.sdf.ground_plane(), s.sdf.sphere(center=(0.0, 0.4, 0.0), radius=0.2)
+    )
+
+    def _views(self, n=3):
+        cams = [CAM] + [
+            s.Camera.orbit(azimuth_deg=40.0 * (k + 1), elevation_deg=10.0)
+            for k in range(n - 1)
+        ]
+        targets = [s.render(self.TRUE_SCENE, c, LIGHT, MAT, CFG) for c in cams]
+        return cams, targets
+
+    def _init(self):
+        return s.sdf.union(
+            s.sdf.ground_plane(),
+            s.sdf.sphere(center=(0.04, 0.44, -0.03), radius=0.26),
+        )
+
+    def _trainable(self, scene0):
+        tr = jax.tree_util.tree_map(lambda _: True, scene0)
+        return tr.replace(a=jax.tree_util.tree_map(lambda _: False, scene0.a))
+
+    def test_recovers_center_and_radius_xla(self):
+        cams, targets = self._views()
+        scene0 = self._init()
+        result = s.fit_scene_multiview(
+            targets, scene0, cams, LIGHT, MAT, CFG,
+            FitConfig(steps=80, learning_rate=2e-2, log_every=20),
+            trainable=self._trainable(scene0),
+        )
+        assert result.losses[-1] < result.losses[0] * 0.1
+        assert float(result.scene.b.radius) == pytest.approx(0.2, abs=0.02)
+        np.testing.assert_allclose(
+            np.asarray(result.scene.b.center), [0.0, 0.4, 0.0], atol=0.03
+        )
+
+    def test_pallas_fused_matches_sum_of_views(self):
+        """The fused multi-view gradient must equal the sum of per-view
+        fused gradients and of per-view XLA-AD gradients."""
+        from sdf3d_tpu.ops import PallasRenderConfig, render_pallas
+        from sdf3d_tpu.ops.fit_kernel import l2_loss_and_grads
+
+        cams, targets = self._views(2)
+        scene0 = self._init()
+        pc = PallasRenderConfig(tile_h=8, tile_w=128, interpret=True, ray_sdf=False)
+
+        total = None
+        for c, t in zip(cams, targets):
+            _, grads = l2_loss_and_grads(CFG, pc, scene0, c, LIGHT, MAT, t, wrt_uniforms=False)
+            g = grads[0]
+            total = g if total is None else jax.tree_util.tree_map(jnp.add, total, g)
+
+        def loss(sc):
+            return sum(
+                jnp.sum((render_pallas(CFG, pc, sc, c, LIGHT, MAT) - t) ** 2)
+                for c, t in zip(cams, targets)
+            )
+
+        g_ad = jax.grad(loss)(scene0)
+        for gf, ga in zip(jax.tree_util.tree_leaves(total), jax.tree_util.tree_leaves(g_ad)):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(ga), rtol=1e-4,
+                atol=1e-5 * max(1.0, float(jnp.abs(ga).max())),
+            )
+
+    def test_pallas_fused_multiview_descends(self):
+        cams, targets = self._views(2)
+        scene0 = self._init()
+        result = s.fit_scene_multiview(
+            targets, scene0, cams, LIGHT, MAT, CFG,
+            FitConfig(steps=15, learning_rate=2e-2, log_every=5,
+                      engine="pallas", pallas_interpret=True, pallas_tile=(8, 128)),
+            trainable=self._trainable(scene0),
+        )
+        assert result.losses[-1] < result.losses[0] * 0.7
+
+    def test_validation(self):
+        cams, targets = self._views(2)
+        with pytest.raises(ValueError, match="targets vs"):
+            s.fit_scene_multiview(targets[:1], self._init(), cams, LIGHT, MAT, CFG)
+        with pytest.raises(ValueError, match="at least one"):
+            s.fit_scene_multiview([], self._init(), [], LIGHT, MAT, CFG)
+
+
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
         state = {"a": jnp.arange(4.0), "b": (jnp.float32(2.0), jnp.ones((2, 2)))}
