@@ -60,10 +60,27 @@ def cmd_render(args) -> int:
     from sdf3d_tpu.utils import write_png
     from sdf3d_tpu.viz import turbo
 
-    scene = _build_scene(args.scene)
-    cfg = _build_config(args)
-    cam = _build_camera(args)
-    light, mat = s.reference_light(), s.reference_material()
+    if args.scene_file:
+        from sdf3d_tpu.sdf.io import load_setup
+
+        setup = load_setup(args.scene_file)
+        scene = setup["scene"]
+        cfg, cam = setup["config"], setup["camera"]
+        light, mat = setup["light"], setup["material"]
+        # Explicit flags still override the file.
+        if args.width or args.height:
+            cfg = dataclasses.replace(
+                cfg,
+                width=args.width or cfg.width,
+                height=args.height or cfg.height,
+            )
+        if args.azimuth or args.elevation:
+            cam = _build_camera(args)
+    else:
+        scene = _build_scene(args.scene)
+        cfg = _build_config(args)
+        cam = _build_camera(args)
+        light, mat = s.reference_light(), s.reference_material()
 
     if args.engine == "pallas":
         from sdf3d_tpu.ops import PallasRenderConfig, render_pallas
@@ -178,6 +195,8 @@ def main(argv=None) -> int:
 
     pr = sub.add_parser("render", help="render a scene to a PNG")
     pr.add_argument("--scene", default="reference")
+    pr.add_argument("--scene-file", default=None,
+                    help="JSON scene/setup file (sdf.save_scene / save_setup)")
     pr.add_argument("--width", type=int, default=0)
     pr.add_argument("--height", type=int, default=0)
     pr.add_argument("--out", default="render.png")

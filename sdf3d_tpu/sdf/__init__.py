@@ -35,6 +35,14 @@ from sdf3d_tpu.sdf.csg import (
     union,
 )
 from sdf3d_tpu.sdf.grid import VoxelGrid, voxel_grid, voxelize
+from sdf3d_tpu.sdf.io import (
+    load_scene,
+    load_setup,
+    save_scene,
+    save_setup,
+    scene_from_json,
+    scene_to_json,
+)
 from sdf3d_tpu.sdf.materials import Shaded, material_at, scene_has_materials, shaded
 from sdf3d_tpu.sdf.neural import NeuralSDF, distill, neural_sdf
 from sdf3d_tpu.sdf.transforms import (
@@ -76,4 +84,7 @@ __all__ = [
     "Shaded", "shaded", "material_at", "scene_has_materials",
     # neural
     "NeuralSDF", "distill", "neural_sdf",
+    # serialization
+    "load_scene", "load_setup", "save_scene", "save_setup",
+    "scene_from_json", "scene_to_json",
 ]
