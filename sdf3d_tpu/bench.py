@@ -100,10 +100,16 @@ def robust_slope_seconds_per_frame(
         t_l = benchmark_fn(fn_l, *args, warmup=0, iters=iters)
         slopes.append((t_l - t_s) / (k_large - k_small))
         time.sleep(0.05)
-    positive = [s for s in slopes if s > 0]
+    positive = sorted(s for s in slopes if s > 0)
     if not positive:  # pathological (all-noise) — conservative fallback
         return t_l / k_large
-    return min(positive)
+    if len(positive) == 1:
+        return positive[0]
+    # The raw min is biased low: a round pairing a tenancy-slowed k_small
+    # window with a fast k_large window yields an underestimated slope, and
+    # min() selects exactly those rounds.  The *second-best* slope is the
+    # corroborated value the loop's agreement rule waited for — report that.
+    return positive[1]
 
 
 def run_benchmark(
@@ -130,6 +136,9 @@ def run_benchmark(
     - ``fwd``: a turntable batch — ``lax.map`` over per-frame cameras, the
       ``render_batch`` animation/serving path.  Each frame reduces to a
       per-frame checksum so the measurement is compute-, not copy-, bound.
+      Camera ``i`` is the same pose at every K (golden-angle azimuths,
+      K-independent), so the K-frame set is exactly a prefix of the 4K set
+      and the two slope windows time the same per-frame workload.
 
     Why pipelined: on the tunnelled TPU each host dispatch has a ~1.3 ms
     floor (measured on an *empty* jit) even when enqueued back-to-back, so
@@ -169,7 +178,10 @@ def run_benchmark(
                 return s.render(scene, c, light, mat, cfg).mean()
 
         def make_fn(k):
-            cams = [s.Camera.orbit(azimuth_deg=360.0 * i / k) for i in range(k)]
+            # Golden-angle azimuths: camera i is identical for every k, so a
+            # K-frame window is a strict prefix of the 4K-frame window and the
+            # two-point slope subtracts like from like.
+            cams = [s.Camera.orbit(azimuth_deg=(137.508 * i) % 360.0) for i in range(k)]
             cameras = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
             return jax.jit(lambda _sc: jax.lax.map(one, cameras))
 

@@ -67,15 +67,28 @@ def cmd_render(args) -> int:
         scene = setup["scene"]
         cfg, cam = setup["config"], setup["camera"]
         light, mat = setup["light"], setup["material"]
-        # Explicit flags still override the file.
-        if args.width or args.height:
-            cfg = dataclasses.replace(
-                cfg,
-                width=args.width or cfg.width,
-                height=args.height or cfg.height,
-            )
+        # Explicit flags are applied ON TOP of the loaded setup — every flag
+        # the no-file path honors is honored here too (none silently dropped).
+        updates = {}
+        if args.width:
+            updates["width"] = args.width
+        if args.height:
+            updates["height"] = args.height
+        if args.normals:
+            updates["normals"] = args.normals
+        if args.ao:
+            updates["ao"] = dataclasses.replace(cfg.ao, enabled=True)
+        if updates:
+            cfg = dataclasses.replace(cfg, **updates)
         if args.azimuth or args.elevation:
-            cam = _build_camera(args)
+            # Orbit override replaces the pose only; the file camera's fov
+            # is preserved (an azimuth flag shouldn't reset optics).
+            cam = s.Camera.orbit(
+                azimuth_deg=args.azimuth,
+                elevation_deg=args.elevation,
+                radius=args.radius,
+                fov_deg=float(cam.fov_deg),
+            )
     else:
         scene = _build_scene(args.scene)
         cfg = _build_config(args)

@@ -437,6 +437,7 @@ def fit_scene_multiview(
     fit_config: FitConfig = FitConfig(),
     logger: MetricsLogger | None = None,
     trainable=None,
+    target_coverages=None,
 ) -> FitResult:
     """Fit scene parameters against **several views jointly**: the loss is the
     sum of per-view pixel losses, so silhouette ambiguities of a single
@@ -450,12 +451,50 @@ def fit_scene_multiview(
     engine runs one single-launch fused fit kernel per view per step and sums
     the gradient vectors; the xla engine differentiates the summed loss.
     ``trainable`` freezes scene leaves exactly like :func:`fit_scene`.
+    ``fit_config.silhouette_weight > 0`` adds the per-view coverage term
+    (same semantics as :func:`fit_scene`): pass ``target_coverages`` (one
+    (H, W) mask per view) or set ``render_config.background`` so masks can be
+    inferred from non-background pixels.
     """
     if len(targets) != len(cameras):
         raise ValueError(f"{len(targets)} targets vs {len(cameras)} cameras")
     if len(targets) == 0:
         raise ValueError("need at least one view")
     targets = [jnp.asarray(t, jnp.float32) for t in targets]
+
+    sil_w = fit_config.silhouette_weight
+    ray_bundles = []
+    if sil_w > 0.0:
+        if target_coverages is None:
+            if render_config.background is None:
+                raise ValueError(
+                    "silhouette_weight > 0 needs per-view object masks: pass "
+                    "target_coverages, or set render_config.background so "
+                    "masks can be inferred from non-background pixels"
+                )
+            bg = jnp.asarray(render_config.background, jnp.float32)
+            target_coverages = [
+                (jnp.max(jnp.abs(t - bg), axis=-1) > 1e-3).astype(jnp.float32)
+                for t in targets
+            ]
+        if len(target_coverages) != len(targets):
+            raise ValueError(
+                f"{len(target_coverages)} coverage masks vs {len(targets)} targets"
+            )
+        target_coverages = [jnp.asarray(c, jnp.float32) for c in target_coverages]
+        ray_bundles = [
+            camera_rays(cam, render_config.width, render_config.height, render_config.ray_mode)
+            for cam in cameras
+        ]
+
+    def _sil_total(scene_):
+        if sil_w <= 0.0:
+            return 0.0
+        total = 0.0
+        for (o_v, d_v), cov_t in zip(ray_bundles, target_coverages):
+            cov = coverage(render_config.march, scene_, o_v, d_v, fit_config.silhouette_beta)
+            total = total + sil_w * jnp.sum((cov - cov_t) ** 2)
+        return total
 
     if fit_config.engine == "pallas":
         from sdf3d_tpu.ops import PallasRenderConfig, render_pallas
@@ -470,7 +509,11 @@ def fit_scene_multiview(
         else:
             pc = PallasRenderConfig(interpret=fit_config.pallas_interpret)
 
-        if fit_config.loss == "l2" and fused_l2_eligible(render_config, scene0):
+        if (
+            fit_config.loss == "l2"
+            and sil_w <= 0.0
+            and fused_l2_eligible(render_config, scene0)
+        ):
             def value_and_grad(scene_):
                 total_loss = 0.0
                 total_g = None
@@ -493,7 +536,7 @@ def fit_scene_multiview(
                         tgt, fit_config.loss, fit_config.pyramid_levels,
                     )
                     for cam, tgt in zip(cameras, targets)
-                )
+                ) + _sil_total(scene_)
 
             value_and_grad = jax.value_and_grad(loss_fn)
     else:
@@ -506,7 +549,7 @@ def fit_scene_multiview(
                     tgt, fit_config.loss, fit_config.pyramid_levels,
                 )
                 for cam, tgt in zip(cameras, targets)
-            )
+            ) + _sil_total(scene_)
 
         value_and_grad = jax.value_and_grad(loss_fn)
 

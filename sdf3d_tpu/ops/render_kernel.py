@@ -46,7 +46,7 @@ from sdf3d_tpu.ops.scene_program import (
 )
 from sdf3d_tpu.sdf.node import SDFNode
 
-# Uniform vector layout (indices into the (28,) SMEM vector).
+# Uniform vector layout (indices into the (N_UNIFORMS,) = (30,) SMEM vector).
 _U_CAM = 0        # camera position (3)
 _U_C2W = 3        # camera-to-world rotation, row-major (9)
 _U_FZ = 12        # focal z (1)
@@ -104,7 +104,8 @@ class PallasRenderConfig:
 
 
 def pack_uniforms(camera, light, mat, ray_mode: str = "reference") -> jnp.ndarray:
-    """Flatten camera/light/material pytrees into the (28,) uniform vector."""
+    """Flatten camera/light/material pytrees into the (N_UNIFORMS,) = (30,)
+    uniform vector (layout above; row0/rowstride slots are patched later)."""
     from sdf3d_tpu.camera import focal_z  # local import to avoid cycle
 
     return jnp.concatenate(

@@ -23,6 +23,17 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+# Every shard_map body in this module needs ``check_vma=False``, for one of
+# two measured reasons (not a blanket convenience):
+# - XLA-engine bodies (render_sharded, loss_and_grad_sharded) carry f32 lane
+#   masks through the march ``lax.while_loop``; vma inference rejects the
+#   carry ("input carry f32[...] vs output f32[...]{V:tiles}") because the
+#   loop body mixes replicated uniforms into device-varying planes.
+# - Pallas-engine bodies (render_pallas_sharded, fused_loss_and_grad_sharded)
+#   call ``pallas_call``, whose ``ShapeDtypeStruct`` outputs carry no vma, so
+#   ``check_vma=True`` raises unconditionally.
+# If either limitation lifts upstream, re-run the probe in
+# tests/test_parallel.py-adjacent history (round 4) before removing this.
 shard_map = functools.partial(jax.shard_map, check_vma=False)
 
 from sdf3d_tpu.camera import Camera, camera_rays

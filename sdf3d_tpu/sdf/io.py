@@ -91,12 +91,31 @@ def _encode(v):
     raise TypeError(f"cannot serialize {type(v).__name__}: {v!r}")
 
 
+#: dtypes a scene file may carry.  The file's dtype/shape are untrusted
+#: (hand-editable JSON): anything outside this set — or a b64 payload whose
+#: byte length disagrees with shape×itemsize — fails here with a clear error
+#: instead of deferring a confusing failure to trace time.
+_DTYPE_ALLOWLIST = ("float32", "int32", "bool")
+
+
 def _decode(v, classes: dict):
     if isinstance(v, dict) and v.get("__array__"):
+        if str(v["dtype"]) not in _DTYPE_ALLOWLIST:
+            raise ValueError(
+                f"scene file array dtype {v['dtype']!r} not allowed; "
+                f"expected one of {_DTYPE_ALLOWLIST}"
+            )
         dtype = np.dtype(v["dtype"])
-        shape = tuple(v["shape"])
+        shape = tuple(int(s) for s in v["shape"])
         if "b64" in v:
-            a = np.frombuffer(base64.b64decode(v["b64"]), dtype=dtype).reshape(shape)
+            raw = base64.b64decode(v["b64"])
+            expected = int(np.prod(shape, dtype=np.int64)) * dtype.itemsize
+            if len(raw) != expected:
+                raise ValueError(
+                    f"scene file array payload is {len(raw)} bytes but "
+                    f"shape {shape} dtype {dtype} needs {expected}"
+                )
+            a = np.frombuffer(raw, dtype=dtype).reshape(shape)
         else:
             a = np.asarray(v["data"], dtype=dtype).reshape(shape)
         return jnp.asarray(a)

@@ -299,6 +299,31 @@ class TestMultiviewFit:
         with pytest.raises(ValueError, match="at least one"):
             s.fit_scene_multiview([], self._init(), [], LIGHT, MAT, CFG)
 
+    def test_silhouette_needs_mask_or_background(self):
+        cams, targets = self._views(2)
+        with pytest.raises(ValueError, match="silhouette_weight"):
+            s.fit_scene_multiview(
+                targets, self._init(), cams, LIGHT, MAT, CFG,
+                FitConfig(steps=2, silhouette_weight=1.0),
+            )
+
+    def test_silhouette_term_descends(self):
+        """fit_scene_multiview honors silhouette_weight (per-view coverage
+        masks), instead of silently ignoring it as before round 4."""
+        import dataclasses as _dc
+
+        cfg_bg = _dc.replace(CFG, background=(0.0, 0.0, 0.0))
+        cams = [CAM, s.Camera.orbit(azimuth_deg=40.0, elevation_deg=10.0)]
+        targets = [s.render(self.TRUE_SCENE, c, LIGHT, MAT, cfg_bg) for c in cams]
+        scene0 = self._init()
+        result = s.fit_scene_multiview(
+            targets, scene0, cams, LIGHT, MAT, cfg_bg,
+            FitConfig(steps=30, learning_rate=2e-2, log_every=10,
+                      silhouette_weight=0.5),
+            trainable=self._trainable(scene0),
+        )
+        assert result.losses[-1] < result.losses[0] * 0.7
+
 
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):

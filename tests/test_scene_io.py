@@ -131,6 +131,24 @@ class TestEditabilityAndErrors:
         with pytest.raises(ValueError, match="not an"):
             scene_from_json(json.dumps({"root": {}}))
 
+    def test_disallowed_dtype_rejected(self):
+        """A hand-edited dtype outside the allowlist fails at load, not trace."""
+        doc = json.loads(scene_to_json(s.sdf.voxelize(s.sdf.sphere(radius=0.3), resolution=12)))
+        doc["root"]["fields"]["values"]["dtype"] = "float64"
+        with pytest.raises(ValueError, match="dtype.*not allowed"):
+            scene_from_json(json.dumps(doc))
+
+    def test_truncated_b64_payload_rejected(self):
+        """A b64 payload shorter than shape×itemsize gets a clear error."""
+        doc = json.loads(scene_to_json(s.sdf.voxelize(s.sdf.sphere(radius=0.3), resolution=12)))
+        values = doc["root"]["fields"]["values"]
+        import base64
+
+        raw = base64.b64decode(values["b64"])
+        values["b64"] = base64.b64encode(raw[: len(raw) // 2]).decode("ascii")
+        with pytest.raises(ValueError, match="bytes but"):
+            scene_from_json(json.dumps(doc))
+
 
 class TestCLISceneFile:
     def test_render_from_scene_file(self, tmp_path, capsys):
@@ -140,5 +158,21 @@ class TestCLISceneFile:
         save_setup(path, SCENES["reference"](), config=CFG)
         out = tmp_path / "out.png"
         rc = cli_main(["render", "--scene-file", str(path), "--out", str(out)])
+        assert rc == 0
+        assert out.exists()
+
+    def test_flags_apply_on_top_of_scene_file(self, tmp_path):
+        """--normals/--ao/--azimuth compose with a scene file instead of being
+        silently dropped (and the orbit override keeps the file's fov)."""
+        from sdf3d_tpu.cli import main as cli_main
+
+        path = tmp_path / "setup.json"
+        cam = s.Camera.orbit(azimuth_deg=10.0, fov_deg=42.0)
+        save_setup(path, SCENES["reference"](), config=CFG, camera=cam)
+        out = tmp_path / "out.png"
+        rc = cli_main([
+            "render", "--scene-file", str(path), "--out", str(out),
+            "--normals", "tetrahedron", "--ao", "--azimuth", "33.0",
+        ])
         assert rc == 0
         assert out.exists()
