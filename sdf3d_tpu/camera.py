@@ -168,3 +168,25 @@ def camera_rays(camera: Camera, width: int, height: int, ray_mode: str = "refere
     directions = generate_rays(camera, qx, qy, width / height, ray_mode)
     origins = jnp.broadcast_to(camera.position, directions.shape)
     return origins, directions
+
+
+def camera_rays_for_rows(camera: Camera, width: int, height: int, rows, ray_mode: str = "reference"):
+    """Ray bundle for a *subset* of absolute image rows: (R, W, 3) arrays.
+
+    ``rows`` is a sequence/array of absolute row indices into the full
+    ``height``-row image (need not be contiguous — interleaved row-block
+    sharding passes its permuted layout directly).  Row ``rows[k]`` of the
+    result is bitwise-identical to row ``rows[k]`` of :func:`camera_rays`:
+    the NDC mapping always uses the full image extent.  This is the
+    multi-host building block (parallel/launch.py): each process generates
+    only the rays its local devices march, never the full-image bundle.
+    """
+    rows = jnp.asarray(rows, jnp.float32)
+    xs = (2.0 * (jnp.arange(width, dtype=jnp.float32) + 0.5) / width) - 1.0
+    ys = 1.0 - (2.0 * (rows + 0.5) / height)
+    r = rows.shape[0]
+    qx = jnp.broadcast_to(xs[None, :], (r, width))
+    qy = jnp.broadcast_to(ys[:, None], (r, width))
+    directions = generate_rays(camera, qx, qy, width / height, ray_mode)
+    origins = jnp.broadcast_to(camera.position, directions.shape)
+    return origins, directions

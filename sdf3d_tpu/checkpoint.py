@@ -25,7 +25,15 @@ def save_checkpoint(path: str | os.PathLike, state: Any, step: int, meta: dict |
     Layout: ``<path>`` is a directory with ``state.msgpack`` and
     ``manifest.json``.  Writes go to a temp name then ``os.replace`` — a
     crash mid-write never corrupts the previous checkpoint.
+
+    **Multi-host**: only process 0 writes (fit state is replicated, so its
+    copy is complete); every other process is a silent no-op — N processes
+    racing ``os.replace`` on one shared directory is corruption.  Resume
+    (:func:`load_checkpoint`) runs on *all* processes, so the checkpoint path
+    must be readable everywhere (shared filesystem, or replicated file).
     """
+    if jax.process_index() != 0:
+        return
     path = pathlib.Path(path)
     path.mkdir(parents=True, exist_ok=True)
     state = jax.device_get(state)

@@ -172,28 +172,83 @@ def fit_scene(
     ``target_coverage``: (H, W) object mask of the target in [0, 1] for the
     silhouette loss term; inferred from non-background pixels when
     ``render_config.background`` is set.
-    """
-    origins, directions = camera_rays(camera, render_config.width, render_config.height, render_config.ray_mode)
-    target = jnp.asarray(target, jnp.float32)
-    opt = _make_optimizer(fit_config)
 
+    **Multi-host**: when ``mesh`` spans processes (``jax.process_count() > 1``
+    after ``parallel.launch.initialize``), inputs are built per host — each
+    process generates only the ray rows its local devices own and ``target``
+    may be a *callable* ``(abs_rows) -> (len(abs_rows), W, 3)`` block loader
+    so no host ever materializes the full image (``target_coverage`` may be a
+    callable too).  Checkpoints are written by process 0 only (checkpoint.py)
+    and metrics stream from process 0 only.
+    """
+    opt = _make_optimizer(fit_config)
     sil_w = fit_config.silhouette_weight
-    if sil_w > 0.0:
-        if target_coverage is None:
-            if render_config.background is None:
-                raise ValueError(
-                    "silhouette_weight > 0 needs an object mask: pass "
-                    "target_coverage, or set render_config.background so the "
-                    "mask can be inferred from non-background pixels"
-                )
-            bg = jnp.asarray(render_config.background, jnp.float32)
-            target_coverage = (
-                jnp.max(jnp.abs(target - bg), axis=-1) > 1e-3
-            ).astype(jnp.float32)
-        target_coverage = jnp.asarray(target_coverage, jnp.float32)
-        # Ride along as a 4th target channel so the sharded path slices it
-        # with the same row sharding as the image.
-        target = jnp.concatenate([target, target_coverage[..., None]], axis=-1)
+    multihost = mesh is not None and jax.process_count() > 1
+
+    def _make_pc():
+        from sdf3d_tpu.ops import PallasRenderConfig
+
+        if fit_config.pallas_tile is not None:
+            return PallasRenderConfig(
+                tile_h=fit_config.pallas_tile[0],
+                tile_w=fit_config.pallas_tile[1],
+                interpret=fit_config.pallas_interpret,
+            )
+        return PallasRenderConfig(interpret=fit_config.pallas_interpret)
+
+    def _cov_missing():
+        return ValueError(
+            "silhouette_weight > 0 needs an object mask: pass "
+            "target_coverage, or set render_config.background so the "
+            "mask can be inferred from non-background pixels"
+        )
+
+    if multihost:
+        import numpy as np
+
+        from sdf3d_tpu.parallel import launch
+
+        if logger is not None and not launch.is_primary():
+            logger = None  # exactly one metrics writer (checkpoint.py gates its own)
+
+        def _target_rows(abs_rows):
+            idx = np.asarray(abs_rows)
+            rgb = target(idx) if callable(target) else jnp.asarray(target, jnp.float32)[idx]
+            rgb = jnp.asarray(rgb, jnp.float32)
+            if sil_w <= 0.0:
+                return rgb
+            if target_coverage is None:
+                if render_config.background is None:
+                    raise _cov_missing()
+                bg = jnp.asarray(render_config.background, jnp.float32)
+                cov = (jnp.max(jnp.abs(rgb - bg), axis=-1) > 1e-3).astype(jnp.float32)
+            elif callable(target_coverage):
+                cov = jnp.asarray(target_coverage(idx), jnp.float32)
+            else:
+                cov = jnp.asarray(target_coverage, jnp.float32)[idx]
+            # Coverage rides as a 4th channel, sharded with the image rows.
+            return jnp.concatenate([rgb, cov[..., None]], axis=-1)
+
+        origins, directions, target = launch.fit_arrays(
+            mesh, camera, render_config, None, target_fn=_target_rows,
+            interleaved=(fit_config.shard_interleaved and fit_config.engine == "pallas"),
+            tile_h=_make_pc().tile_h if fit_config.engine == "pallas" else 0,
+        )
+    else:
+        origins, directions = camera_rays(camera, render_config.width, render_config.height, render_config.ray_mode)
+        target = jnp.asarray(target, jnp.float32)
+        if sil_w > 0.0:
+            if target_coverage is None:
+                if render_config.background is None:
+                    raise _cov_missing()
+                bg = jnp.asarray(render_config.background, jnp.float32)
+                target_coverage = (
+                    jnp.max(jnp.abs(target - bg), axis=-1) > 1e-3
+                ).astype(jnp.float32)
+            target_coverage = jnp.asarray(target_coverage, jnp.float32)
+            # Ride along as a 4th target channel so the sharded path slices it
+            # with the same row sharding as the image.
+            target = jnp.concatenate([target, target_coverage[..., None]], axis=-1)
 
     def _split_target(tgt_):
         if sil_w > 0.0:
@@ -207,16 +262,9 @@ def fit_scene(
         return sil_w * jnp.sum((cov - cov_t) ** 2)
 
     if fit_config.engine == "pallas":
-        from sdf3d_tpu.ops import PallasRenderConfig, render_pallas
+        from sdf3d_tpu.ops import render_pallas
 
-        if fit_config.pallas_tile is not None:
-            pc = PallasRenderConfig(
-                tile_h=fit_config.pallas_tile[0],
-                tile_w=fit_config.pallas_tile[1],
-                interpret=fit_config.pallas_interpret,
-            )
-        else:
-            pc = PallasRenderConfig(interpret=fit_config.pallas_interpret)
+        pc = _make_pc()
 
         # The fused loss+grad kernel (ops/fit_kernel.py) computes the L2
         # loss and its gradients inside the backward kernel — no XLA loss or
@@ -291,9 +339,11 @@ def fit_scene(
                 value_and_grad = loss_and_grad_sharded(
                     slab_loss, mesh, allreduce=fit_config.allreduce
                 )
-            if interleaved:
+            if interleaved and not multihost:
                 # Row-permute once so each device's contiguous P(tile_axis)
                 # shard holds exactly the interleaved rows it renders.
+                # (Multi-host inputs are built directly in permuted order —
+                # launch.abs_rows_for_block — so no global pass is needed.)
                 origins = interleave_rows(origins, n, th)
                 directions = interleave_rows(directions, n, th)
                 target = interleave_rows(target, n, th)
@@ -331,23 +381,22 @@ def fit_scene(
     else:
         mask = None
 
-    def _one_step(scene_, opt_state_):
-        loss, grads = value_and_grad(scene_, origins, directions, target)
-        if mask is not None:
-            grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
-        updates, opt_state_ = opt.update(grads, opt_state_, scene_)
-        scene_ = optax.apply_updates(scene_, updates)
-        return scene_, opt_state_, loss
-
     # Steps run in lax.scan chunks: one host dispatch per logging/checkpoint
     # interval instead of per step.  On relay/tunnelled backends a dispatch
     # costs ~10-100 ms — per-step dispatch made fits ~15x slower than the
-    # device compute; chunked, the loop is kernel-bound.
+    # device compute; chunked, the loop is kernel-bound.  The ray bundles and
+    # target are explicit jit arguments (not closure captures): under
+    # multi-host execution they are global arrays spanning non-addressable
+    # devices, which jit may consume only as inputs.
     @functools.partial(jax.jit, static_argnames=("n",))
-    def run_chunk(scene_, opt_state_, n):
+    def run_chunk(scene_, opt_state_, origins_, directions_, target_, n):
         def body(carry, _):
             sc, st = carry
-            sc, st, loss = _one_step(sc, st)
+            loss, grads = value_and_grad(sc, origins_, directions_, target_)
+            if mask is not None:
+                grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
+            updates, st = opt.update(grads, st, sc)
+            sc = optax.apply_updates(sc, updates)
             return (sc, st), loss
 
         (scene_, opt_state_), chunk_losses = jax.lax.scan(
@@ -403,7 +452,9 @@ def fit_scene(
         if ckpt_every:
             end = min(end, ((step // ckpt_every) + 1) * ckpt_every)
         n = end - step
-        scene, opt_state, chunk_losses = run_chunk(scene, opt_state, n)
+        scene, opt_state, chunk_losses = run_chunk(
+            scene, opt_state, origins, directions, target, n
+        )
         chunk_losses = jax.device_get(chunk_losses).tolist()  # one host sync per chunk
         steps_run += n
         for i, loss_val in enumerate(chunk_losses):

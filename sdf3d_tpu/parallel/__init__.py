@@ -6,6 +6,12 @@ TPU-native scaling story keeps exactly that axis: **shard the pixel grid**
 across chips (rows of the image → row slabs per device) while scene / camera
 / light / material parameters stay replicated, and all-reduce parameter
 gradients with ``psum`` over ICI (BASELINE north star).
+
+Multi-host (DCN) execution lives in :mod:`sdf3d_tpu.parallel.launch`:
+``jax.distributed`` bootstrap, per-host row-shard construction of ray
+bundles/targets, and the process-0 side-effect gate — imported lazily here
+(``from sdf3d_tpu.parallel import launch``) because touching
+``jax.distributed`` state at import time is wrong for single-process users.
 """
 
 from sdf3d_tpu.parallel.mesh import make_mesh, tile_axis

@@ -1,9 +1,11 @@
 """Device-mesh construction helpers.
 
 One logical axis — ``"tiles"`` — data-parallel over image row-slabs.  On a
-multi-host v5p slice the same code runs unchanged: ``jax.devices()`` spans
-hosts, `shard_map` lowers the ``psum`` to ICI within a slice and DCN across
-hosts (SURVEY.md §5).
+multi-host v5p slice the compiled program is the same: ``jax.devices()``
+spans hosts and `shard_map` lowers the ``psum`` to ICI within a slice and DCN
+across hosts (SURVEY.md §5).  The multi-host *runtime* pieces — distributed
+bootstrap, per-host data construction, primary-only side effects — live in
+:mod:`sdf3d_tpu.parallel.launch`.
 """
 
 from __future__ import annotations
