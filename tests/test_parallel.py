@@ -356,3 +356,102 @@ class TestPallasCollectives:
         gp, _ = fu.ravel_pytree(g_psum)
         gr, _ = fu.ravel_pytree(g_ring)
         np.testing.assert_allclose(np.asarray(gr), np.asarray(gp), rtol=1e-5, atol=1e-5)
+
+
+class TestRsAgCollective:
+    """Bandwidth-optimal reduce-scatter + all-gather ring
+    (parallel/collectives.py): 2P(N−1)/N bytes per link vs the latency
+    ring's (N−1)·P."""
+
+    def _psum(self, mesh, num, x, **kw):
+        import functools
+
+        from jax.sharding import PartitionSpec as PS
+
+        from sdf3d_tpu.parallel import pallas_psum
+        from sdf3d_tpu.parallel.mesh import tile_axis
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=PS(tile_axis, None),
+            out_specs=PS(tile_axis, None), check_vma=False,
+        )
+        def f(local):
+            return pallas_psum(local[0], num, interpret=True, **kw)[None]
+
+        return np.asarray(f(x))
+
+    @pytest.mark.parametrize("n_elems", [1, 130, 20000, 70001])
+    def test_matches_sum_ragged_payloads(self, mesh8, n_elems):
+        rng = np.random.default_rng(n_elems)
+        x = jnp.asarray(rng.standard_normal((8, n_elems)), jnp.float32)
+        out = self._psum(mesh8, 8, x, algorithm="rs_ag")
+        want = np.broadcast_to(np.asarray(jnp.sum(x, 0)), out.shape)
+        np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("num", [2, 3, 5, 8])
+    def test_odd_and_even_mesh_sizes(self, num):
+        mesh = make_mesh(jax.devices("cpu"), n_devices=num)
+        rng = np.random.default_rng(num)
+        x = jnp.asarray(rng.standard_normal((num, 5000)), jnp.float32)
+        out = self._psum(mesh, num, x, algorithm="rs_ag")
+        want = np.broadcast_to(np.asarray(jnp.sum(x, 0)), out.shape)
+        np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+
+    def test_auto_picks_rs_ag_for_large_payloads(self, mesh8):
+        """auto == rs_ag above the threshold, ring below — both exact."""
+        from sdf3d_tpu.parallel.collectives import _rs_ag_threshold
+
+        rng = np.random.default_rng(0)
+        for n in (_rs_ag_threshold(8) + 5, 37):
+            x = jnp.asarray(rng.standard_normal((8, n)), jnp.float32)
+            out = self._psum(mesh8, 8, x)
+            want = np.broadcast_to(np.asarray(jnp.sum(x, 0)), out.shape)
+            np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("num", [2, 4, 8])
+    def test_rs_ag_schedule_overlaps_comm_and_compute(self, num):
+        """Same schedule-level overlap property as the latency ring: every
+        accum/copy except the final one executes while the OTHER stream's
+        RDMA is outstanding."""
+        from sdf3d_tpu.parallel.collectives import rs_ag_schedule
+
+        ops = rs_ag_schedule(num)
+        outstanding = {"A": 0, "B": 0}
+        waited = {"A": -1, "B": -1}
+        consumed = overlapped = 0
+        for op, stream, k in ops:
+            other = "B" if stream == "A" else "A"
+            if op == "start":
+                outstanding[stream] += 1
+            elif op == "wait":
+                outstanding[stream] -= 1
+                assert k == waited[stream] + 1  # in order, no skipped step
+                waited[stream] = k
+            else:
+                assert waited[stream] == k  # never read before arrival
+                assert op == ("accum" if k < num - 1 else "copy")
+                consumed += 1
+                overlapped += int(outstanding[other] > 0)
+            assert 0 <= outstanding[stream] <= 1  # double-buffered: ≤1 in flight
+        # 2(num-1) global steps per stream: N−1 reduce-scatter accumulates
+        # then N−1 all-gather copies.
+        assert consumed == 2 * 2 * (num - 1)
+        assert overlapped == consumed - 1
+        assert outstanding == {"A": 0, "B": 0}
+
+    @pytest.mark.parametrize("num", [2, 4, 8])
+    def test_wire_traffic_is_bandwidth_optimal(self, num):
+        """Traffic accounting straight from the schedules: rs_ag moves
+        2(N−1)/N of the payload per link; the latency ring moves (N−1)×."""
+        from sdf3d_tpu.parallel.collectives import ring_schedule, rs_ag_schedule
+
+        P = 1.0  # normalized payload size
+        # rs_ag: each start sends one chunk = P / (2 streams · N chunks).
+        starts = sum(1 for op, _, _ in rs_ag_schedule(num) if op == "start")
+        rs_ag_traffic = starts * P / (2 * num)
+        assert rs_ag_traffic == pytest.approx(2 * (num - 1) / num * P)
+        # latency ring: each start forwards a whole half.
+        starts = sum(1 for op, _, _ in ring_schedule(num) if op == "start")
+        ring_traffic = starts * P / 2
+        assert ring_traffic == pytest.approx((num - 1) * P)
+        assert rs_ag_traffic <= ring_traffic
