@@ -266,18 +266,26 @@ def fit_scene(
 
         pc = _make_pc()
 
-        # The fused loss+grad kernel (ops/fit_kernel.py) computes the L2
-        # loss and its gradients inside the backward kernel — no XLA loss or
-        # cotangent pass, ~75 MB/frame less HBM traffic.  Applies whenever
-        # the loss is the plain pixel L2 (no pyramid, no silhouette term)
-        # and the scene/config qualify for the fused backward.
+        # The fused loss+grad kernel (ops/fit_kernel.py) computes the loss
+        # and its gradients inside the backward kernel — no XLA loss or
+        # cotangent pass, ~75 MB/frame less HBM traffic.  Covers the plain
+        # pixel L2, the multiscale pyramid (in-tile MXU pooling), and the
+        # silhouette coverage term (in-march min-SDF tracking) whenever the
+        # scene/config qualify for the fused backward.
         from sdf3d_tpu.ops.fit_kernel import fused_l2_eligible, l2_loss_and_grads
 
-        use_fused_loss = (
-            fit_config.loss == "l2"
-            and sil_w <= 0.0
-            and fused_l2_eligible(render_config, scene0)
+        use_fused_loss = fused_l2_eligible(
+            render_config, scene0, loss=fit_config.loss,
+            levels=fit_config.pyramid_levels, sil_w=sil_w, pc=pc,
         )
+
+        def _fused_args(tgt_):
+            rgb_t, cov_t = _split_target(tgt_)
+            return rgb_t, dict(
+                wrt_uniforms=False, loss_kind=fit_config.loss,
+                levels=fit_config.pyramid_levels, sil_w=float(sil_w),
+                sil_beta=fit_config.silhouette_beta, target_coverage=cov_t,
+            )
 
         if mesh is not None:
             # Sharded fused-engine fit (BASELINE config 5): each device runs
@@ -316,9 +324,10 @@ def fit_scene(
             if use_fused_loss:
                 def slab_vag(scene_, o_, d_, tgt_):
                     row0, stride = _slab_row0_stride()
+                    rgb_t, kw = _fused_args(tgt_)
                     loss, grads = l2_loss_and_grads(
-                        slab_cfg, pc, scene_, camera, light, mat, tgt_, row0, stride,
-                        wrt_uniforms=False,
+                        slab_cfg, pc, scene_, camera, light, mat, rgb_t, row0, stride,
+                        **kw,
                     )
                     return loss, grads[0]
 
@@ -349,9 +358,9 @@ def fit_scene(
                 target = interleave_rows(target, n, th)
         elif use_fused_loss:
             def value_and_grad(scene_, o_, d_, tgt_):
+                rgb_t, kw = _fused_args(tgt_)
                 loss, grads = l2_loss_and_grads(
-                    render_config, pc, scene_, camera, light, mat, tgt_,
-                    wrt_uniforms=False,
+                    render_config, pc, scene_, camera, light, mat, rgb_t, **kw
                 )
                 return loss, grads[0]
         else:
@@ -549,7 +558,7 @@ def fit_scene_multiview(
 
     if fit_config.engine == "pallas":
         from sdf3d_tpu.ops import PallasRenderConfig, render_pallas
-        from sdf3d_tpu.ops.fit_kernel import fused_l2_eligible, l2_loss_and_grads
+        from sdf3d_tpu.ops.fit_kernel import fused_l2_eligible, multiview_loss_and_grads
 
         if fit_config.pallas_tile is not None:
             pc = PallasRenderConfig(
@@ -560,25 +569,21 @@ def fit_scene_multiview(
         else:
             pc = PallasRenderConfig(interpret=fit_config.pallas_interpret)
 
-        if (
-            fit_config.loss == "l2"
-            and sil_w <= 0.0
-            and fused_l2_eligible(render_config, scene0)
+        if fused_l2_eligible(
+            render_config, scene0, loss=fit_config.loss,
+            levels=fit_config.pyramid_levels, sil_w=sil_w, pc=pc,
         ):
+            # ONE kernel launch per step for all V views (view-axis grid),
+            # not a per-view Python loop of V launches/compiled programs.
             def value_and_grad(scene_):
-                total_loss = 0.0
-                total_g = None
-                for cam, tgt in zip(cameras, targets):
-                    loss, grads = l2_loss_and_grads(
-                        render_config, pc, scene_, cam, light, mat, tgt,
-                        wrt_uniforms=False,
-                    )
-                    total_loss = total_loss + loss
-                    g = grads[0]
-                    total_g = g if total_g is None else jax.tree_util.tree_map(
-                        jnp.add, total_g, g
-                    )
-                return total_loss, total_g
+                loss, grads = multiview_loss_and_grads(
+                    render_config, pc, scene_, cameras, light, mat, targets,
+                    wrt_uniforms=False, loss_kind=fit_config.loss,
+                    levels=fit_config.pyramid_levels, sil_w=float(sil_w),
+                    sil_beta=fit_config.silhouette_beta,
+                    target_coverages=target_coverages if sil_w > 0.0 else None,
+                )
+                return loss, grads[0]
         else:
             def loss_fn(scene_):
                 return sum(
@@ -790,17 +795,23 @@ def fit_view(
             )
         else:
             pc = PallasRenderConfig(interpret=fit_config.pallas_interpret)
-        use_fused = (
-            fit_config.loss == "l2"
-            and sil_w <= 0.0
-            and fused_l2_eligible(render_config, scene)
+        use_fused = fused_l2_eligible(
+            render_config, pc=pc, scene=scene, loss=fit_config.loss,
+            levels=fit_config.pyramid_levels, sil_w=sil_w,
         )
 
     if use_fused:
+        # The recommended pose-fit configuration (L2 + silhouette coverage,
+        # docstring above) runs entirely in the single-launch fused kernel:
+        # the coverage term's camera gradient comes from the in-kernel
+        # envelope re-attachment through the uniform vector.
         def value_and_grad(p):
             (cam, light, mat), view_vjp = jax.vjp(build_view, p)
             loss, (_g_scene, g_cam, g_light, g_mat) = l2_loss_and_grads(
-                render_config, pc, scene, cam, light, mat, target
+                render_config, pc, scene, cam, light, mat, target,
+                loss_kind=fit_config.loss, levels=fit_config.pyramid_levels,
+                sil_w=float(sil_w), sil_beta=fit_config.silhouette_beta,
+                target_coverage=target_coverage if sil_w > 0.0 else None,
             )
             (g_p,) = view_vjp((g_cam, g_light, g_mat))
             return loss, g_p

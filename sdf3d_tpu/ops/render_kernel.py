@@ -130,16 +130,17 @@ def _rsqrt(x):
     return jax.lax.rsqrt(x)
 
 
-def _tile_pixel_planes(uni, TH, TW):
+def _tile_pixel_planes(uni, TH, TW, axis_off: int = 0):
     """Absolute (rows, cols) pixel-index planes for the current grid tile.
 
     row0/rowstride map the tile to absolute image rows: contiguous slabs
     use stride == TH; interleaved row-block sharding strides tiles by
     n_devices*TH so each device sees a representative row mix.
-    """
+    ``axis_off`` shifts the tile axes in the program grid (the multi-view
+    fit kernel prepends a view axis: grid = (V, rows, cols))."""
     f32 = jnp.float32
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    i = pl.program_id(axis_off)
+    j = pl.program_id(axis_off + 1)
     rows = uni[_U_ROW0] + i.astype(f32) * uni[_U_ROWSTRIDE] + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0).astype(f32)
     cols = (j * TW + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1)).astype(f32)
     return rows, cols
@@ -173,19 +174,53 @@ def _tile_rays(uni, rows, cols, cfg, TH, TW):
     return (ox, oy, oz), (dx, dy, dz)
 
 
-def _march_primary(ev_primary, mc, chk, TH, TW):
+def _march_primary(ev_primary, mc, chk, TH, TW, track_min: bool = False):
     """Primary sphere-trace march (voxel_fragment.frag:86-103 semantics).
 
     Lane masks are carried as f32 0/1 planes: Mosaic cannot legalize
     vector<i1> carries through scf.while (loop yields fail to lower), and
     the loop condition reduces the mask with max() so only a *scalar*
     boolean ever crosses an iteration boundary.
+
+    ``track_min=True`` additionally carries the ray's minimum SDF value and
+    the marched distance where it occurred (``march.ray_min_sdf`` semantics
+    — the silhouette quantity for the fused coverage loss,
+    ops/fit_kernel.py); returns ``(t, min_s, t_min)``.  Requires the
+    reference march (``relaxation == 1.0``), matching the XLA silhouette
+    path which always marches unrelaxed.
     """
     f32 = jnp.float32
+    if track_min and mc.relaxation != 1.0:
+        raise ValueError("min-SDF tracking requires march.relaxation == 1.0")
 
     def march_cond(state):
         step, _, active = state
         return jnp.logical_and(step < mc.max_steps, jnp.max(active) > 0.5)
+
+    def min_cond(state):
+        step, _, _, _, active = state
+        return jnp.logical_and(step < mc.max_steps, jnp.max(active) > 0.5)
+
+    def min_body(state):
+        # march_body plus the min tracker: min/argmin updates gated by the
+        # same effective-active mask (ray_min_sdf semantics: s is evaluated
+        # at the pre-update distance, winners must be active lanes).
+        step, dist, min_s, t_min, active = state
+        for i in range(chk):
+            s = ev_primary(dist)
+            eff = active
+            if mc.max_steps % chk != 0:
+                eff = active * jnp.where(step + i < mc.max_steps, 1.0, 0.0)
+            better = (eff > 0.5) & (s < min_s)
+            min_s = jnp.where(better, s, min_s)
+            t_min = jnp.where(better, dist, t_min)
+            dist = dist + eff * s
+            stop = (dist > mc.max_distance) | (s < mc.epsilon)
+            if mc.max_steps % chk != 0:
+                active = jnp.where(stop, active - eff, active)
+            else:
+                active = jnp.where(stop, 0.0, active)
+        return step + chk, dist, min_s, t_min, active
 
     def relaxed_cond(state):
         step, _, _, _, _, active = state
@@ -236,6 +271,19 @@ def _march_primary(ev_primary, mc, chk, TH, TW):
                 active = jnp.where(stop, 0.0, active)
         return step + chk, dist, active
 
+    if track_min:
+        _, t, min_s, t_min, _ = jax.lax.while_loop(
+            min_cond,
+            min_body,
+            (
+                jnp.int32(0),
+                jnp.zeros((TH, TW), f32),
+                jnp.full((TH, TW), jnp.inf, f32),
+                jnp.zeros((TH, TW), f32),
+                jnp.ones((TH, TW), f32),
+            ),
+        )
+        return t, min_s, t_min
     if mc.relaxation != 1.0:
         _, t, _, _, _, _ = jax.lax.while_loop(
             relaxed_cond,
@@ -356,11 +404,13 @@ def _tile_ao(sdf, hx, hy, hz, nx, ny, nz, cfg, TH, TW):
     return jnp.clip(1.0 - cfg.ao.strength * occ, 0.0, 1.0)
 
 
-def _tile_primal(uni, getp, sdf, soa_ray, rows, cols, cfg, pc):
+def _tile_primal(uni, getp, sdf, soa_ray, rows, cols, cfg, pc, track_min: bool = False):
     """The full primal pipeline for one tile: rays → march → normals →
     shadow → AO.  Shared by the forward kernel and the fused fit kernel
     (ops/fit_kernel.py).  Returns (origin, direction, t, normals, incident,
-    shadow, ao) — everything the shading stage consumes."""
+    shadow, ao) — everything the shading stage consumes — plus
+    ``(min_s, t_min)`` appended when ``track_min`` (the silhouette planes
+    for the fused coverage loss)."""
     TH, TW = pc.tile_h, pc.tile_w
     f32 = jnp.float32
     mc = cfg.march
@@ -379,7 +429,12 @@ def _tile_primal(uni, getp, sdf, soa_ray, rows, cols, cfg, pc):
         def ev_primary(t):
             return sdf(ox + t * dx, oy + t * dy, oz + t * dz)
 
-    t = _march_primary(ev_primary, mc, chk, TH, TW)
+    min_planes = ()
+    if track_min:
+        t, min_s, t_min = _march_primary(ev_primary, mc, chk, TH, TW, track_min=True)
+        min_planes = (min_s, t_min)
+    else:
+        t = _march_primary(ev_primary, mc, chk, TH, TW)
 
     hx, hy, hz = ox + t * dx, oy + t * dy, oz + t * dz
     nx, ny, nz = _tile_normals(sdf, hx, hy, hz, cfg)
@@ -409,7 +464,7 @@ def _tile_primal(uni, getp, sdf, soa_ray, rows, cols, cfg, pc):
     else:
         ao = jnp.ones((TH, TW), f32)
 
-    return (ox, oy, oz), (dx, dy, dz), t, (nx, ny, nz), (ix, iy, iz), shadow, ao
+    return ((ox, oy, oz), (dx, dy, dz), t, (nx, ny, nz), (ix, iy, iz), shadow, ao) + min_planes
 
 
 def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, soa_ray, mat_soa, n_params, cfg: RenderConfig, pc: PallasRenderConfig):

@@ -281,6 +281,42 @@ class TestMultiviewFit:
                 atol=1e-5 * max(1.0, float(jnp.abs(ga).max())),
             )
 
+    def test_single_launch_multiview_matches_per_view_sum(self):
+        """multiview_loss_and_grads (one launch, view-axis grid) must equal
+        the sum of per-view fused calls — loss, scene grads, and per-view
+        camera grads (VERDICT r3 item 6)."""
+        from sdf3d_tpu.ops import PallasRenderConfig
+        from sdf3d_tpu.ops.fit_kernel import l2_loss_and_grads, multiview_loss_and_grads
+
+        cams, targets = self._views(3)
+        scene0 = self._init()
+        pc = PallasRenderConfig(tile_h=8, tile_w=128, interpret=True, ray_sdf=False)
+
+        l_mv, (g_scene_mv, g_cams_mv, g_light_mv, g_mat_mv) = multiview_loss_and_grads(
+            CFG, pc, scene0, cams, LIGHT, MAT, targets, wrt_uniforms=True
+        )
+
+        total_l, total_g, total_light, total_mat = 0.0, None, None, None
+        per_view_cam = []
+        for c, t in zip(cams, targets):
+            l, (g, g_cam, g_li, g_ma) = l2_loss_and_grads(
+                CFG, pc, scene0, c, LIGHT, MAT, t, wrt_uniforms=True
+            )
+            total_l += float(l)
+            per_view_cam.append(g_cam)
+            total_g = g if total_g is None else jax.tree_util.tree_map(jnp.add, total_g, g)
+            total_light = g_li if total_light is None else jax.tree_util.tree_map(jnp.add, total_light, g_li)
+            total_mat = g_ma if total_mat is None else jax.tree_util.tree_map(jnp.add, total_mat, g_ma)
+
+        assert float(l_mv) == pytest.approx(total_l, rel=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g_scene_mv), jax.tree_util.tree_leaves(total_g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+        for gc_mv, gc in zip(g_cams_mv, per_view_cam):
+            for a, b in zip(jax.tree_util.tree_leaves(gc_mv), jax.tree_util.tree_leaves(gc)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g_light_mv), jax.tree_util.tree_leaves(total_light)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
     def test_pallas_fused_multiview_descends(self):
         cams, targets = self._views(2)
         scene0 = self._init()
@@ -442,9 +478,15 @@ class TestFitEngines:
         trainable = trainable.replace(a=jax.tree_util.tree_map(lambda _: False, scene0.a))
         from sdf3d_tpu.fit import FitConfig
 
+        # lr 5e-3: at 1e-2 this fit converges by step ~40 then adam can
+        # chaotically bounce across silhouettes — trajectories there are
+        # ulp-sensitive (observed: a 1-ulp gradient fusion difference picked
+        # a different basin).  Per-step math parity is the tight check
+        # (test_pallas.py::TestFusedLossGradKernel); this asserts stable
+        # convergence on the now-fused multiscale path.
         result = fit_scene(
             target, scene0, CAM, LIGHT, MAT, CFG,
-            FitConfig(steps=120, learning_rate=1e-2, engine="pallas",
+            FitConfig(steps=120, learning_rate=5e-3, engine="pallas",
                       pallas_interpret=True, loss="multiscale"),
             trainable=trainable,
         )
@@ -468,11 +510,38 @@ class TestFitEngines:
 
         trainable = jax.tree_util.tree_map(lambda _: True, scene0)
         trainable = trainable.replace(a=jax.tree_util.tree_map(lambda _: False, scene0.a))
-        fc = dataclasses.replace(fc, steps=60, log_every=10)
+        # lr 1e-2 (not 2e-2): the high-lr endgame is chaotic across ulp-level
+        # changes — see test_pallas_engine_multiscale_converges.
+        fc = dataclasses.replace(fc, steps=80, log_every=10, learning_rate=1e-2)
         result = fit_scene(target, scene0, CAM, LIGHT, MAT, CFG, fc,
                            mesh=mesh, trainable=trainable)
         assert result.losses[-1] < result.losses[0] * 0.2
         assert float(result.scene.b.radius) == pytest.approx(0.2, abs=0.03)
+
+    def test_pallas_engine_sharded_silhouette_matches_unsharded(self):
+        """Fused silhouette loss under sharding: the coverage mask rides as
+        the 4th target channel through the row sharding and the in-kernel
+        coverage term sees the right slab rows — sharded losses must match
+        the unsharded fused run exactly."""
+        import dataclasses as _dc
+
+        cfg_bg = _dc.replace(CFG, background=(0.0, 0.0, 0.0))
+        scene_true = s.sdf.union(
+            s.sdf.ground_plane(), s.sdf.sphere(center=(0.0, 0.4, 0.0), radius=0.2)
+        )
+        target = s.render(scene_true, CAM, LIGHT, MAT, cfg_bg)
+        scene0 = s.sdf.union(
+            s.sdf.ground_plane(),
+            s.sdf.sphere(center=(0.04, 0.44, -0.03), radius=0.26),
+        )
+        mesh = make_mesh(jax.devices("cpu"), n_devices=4)
+        fc = FitConfig(steps=2, learning_rate=2e-2, log_every=1,
+                       engine="pallas", pallas_interpret=True,
+                       pallas_tile=(8, 128), silhouette_weight=0.5)
+        sharded = fit_scene(target, scene0, CAM, LIGHT, MAT, cfg_bg, fc, mesh=mesh)
+        single = fit_scene(target, scene0, CAM, LIGHT, MAT, cfg_bg, fc)
+        for a, b in zip(sharded.losses, single.losses):
+            assert a == pytest.approx(b, rel=1e-4)
 
     def test_pallas_engine_sharded_interleaved_converges(self):
         target, scene0 = _target_and_init()
