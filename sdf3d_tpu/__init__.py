@@ -17,6 +17,7 @@ from sdf3d_tpu.config import (
     REFERENCE_CONFIG,
     RenderConfig,
     ShadowConfig,
+    fast_config,
 )
 from sdf3d_tpu.lighting import (
     Material,
@@ -71,7 +72,7 @@ __version__ = "0.1.0"
 __all__ = [
     "sdf",
     "Camera", "camera_rays", "generate_rays", "pixel_grid",
-    "AOConfig", "MarchConfig", "REFERENCE_CONFIG", "RenderConfig", "ShadowConfig",
+    "AOConfig", "MarchConfig", "REFERENCE_CONFIG", "RenderConfig", "ShadowConfig", "fast_config",
     "Material", "PointLight", "material", "point_light",
     "reference_light", "reference_material",
     "ambient_occlusion", "estimate_normals", "hit_mask", "normal_autodiff",

@@ -129,6 +129,7 @@ class TestFitView:
         )
         assert result.losses[-1] < result.losses[0] * 0.8
 
+    @pytest.mark.slow
     def test_fused_grads_match_ad_through_pose(self):
         """One step of the fused path's (vjp-chained) pose gradients must
         match jax.grad through render_pallas + the same parameterization."""
@@ -493,6 +494,7 @@ class TestFitEngines:
         assert result.losses[-1] < result.losses[0] * 0.25
         assert float(result.scene.b.radius) == pytest.approx(0.2, abs=0.03)
 
+    @pytest.mark.slow
     def test_pallas_engine_sharded_matches_unsharded(self):
         """engine='pallas' + mesh (fused fwd+bwd per slab, psum'd grads):
         identical first steps, then convergence to the target radius.
@@ -518,6 +520,7 @@ class TestFitEngines:
         assert result.losses[-1] < result.losses[0] * 0.2
         assert float(result.scene.b.radius) == pytest.approx(0.2, abs=0.03)
 
+    @pytest.mark.slow
     def test_pallas_engine_sharded_silhouette_matches_unsharded(self):
         """Fused silhouette loss under sharding: the coverage mask rides as
         the 4th target channel through the row sharding and the in-kernel

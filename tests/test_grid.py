@@ -148,6 +148,7 @@ class TestPallasEntryDelegation:
         b = np.asarray(s.render(scene, cam, light, mat, cfg))
         np.testing.assert_allclose(a, b, atol=2e-5)
 
+    @pytest.mark.slow
     def test_render_pallas_grid_gradients_flow_to_samples(self):
         from sdf3d_tpu.ops import PallasRenderConfig, render_pallas
 

@@ -105,6 +105,7 @@ class TestKernelParity:
         img = np.asarray(s.render(s.reference_scene(), CAM, LIGHT, MAT, CFG))
         assert_images_match(rgb, img)
 
+    @pytest.mark.slow
     def test_kitchen_sink_scene_ray_mode(self):
         # Every node type through the ray emitters (incl. the point-eval
         # fallback for Elongate/RepeatInfinite).
@@ -229,6 +230,7 @@ class TestFusedBackwardKernel:
     (shadow grad == "detach") path."""
 
     @pytest.mark.smoke
+    @pytest.mark.slow
     def test_matches_planar_backward_all_inputs(self):
         import importlib
 
@@ -252,6 +254,7 @@ class TestFusedBackwardKernel:
             a, b = np.asarray(gf), np.asarray(gp)
             np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-5 * max(1.0, np.abs(b).max()))
 
+    @pytest.mark.slow
     def test_matches_planar_backward_with_ao_and_background(self):
         import importlib
 
@@ -297,6 +300,7 @@ class TestFusedLossGradKernel:
         return l, g
 
     @pytest.mark.smoke
+    @pytest.mark.slow
     def test_matches_generic_value_and_grad(self):
         from sdf3d_tpu.ops.fit_kernel import l2_loss_and_grads
 
@@ -308,6 +312,7 @@ class TestFusedLossGradKernel:
             a, b = np.asarray(gf), np.asarray(gr)
             np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5 * max(1.0, np.abs(b).max()))
 
+    @pytest.mark.slow
     def test_padded_tiles_masked(self):
         """Width/height not tile multiples: padding lanes (whose target is
         zero-padded) must contribute exactly nothing."""

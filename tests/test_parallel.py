@@ -44,6 +44,7 @@ class TestShardedRender:
         )
         np.testing.assert_allclose(a, b, atol=1e-4)
 
+    @pytest.mark.slow
     def test_pallas_interleaved_matches_contiguous(self, mesh8):
         """Interleaved row-block sharding is a pure layout change: the
         un-permuted image must equal the contiguous-slab one bitwise."""
@@ -82,6 +83,7 @@ class TestShardedRender:
 
 
 class TestShardedGradients:
+    @pytest.mark.slow
     def test_psum_grads_match_unsharded(self, mesh8):
         o, d = camera_rays(CAM, CFG.width, CFG.height)
         target = s.render(s.reference_scene(), CAM, LIGHT, MAT, CFG)
@@ -117,6 +119,7 @@ class TestShardedPallasGradients:
 
     @pytest.mark.parametrize("interleaved", [False, True])
     @pytest.mark.smoke
+    @pytest.mark.slow
     def test_grads_match_unsharded_pallas_and_xla(self, mesh8, interleaved):
         from sdf3d_tpu.ops import render_pallas
         from sdf3d_tpu.ops.render_pallas import render_pallas_rows
@@ -161,6 +164,7 @@ class TestShardedPallasGradients:
         np.testing.assert_allclose(np.asarray(gs), np.asarray(gx), rtol=5e-3, atol=1e-3)
 
     @pytest.mark.parametrize("interleaved", [False, True])
+    @pytest.mark.slow
     def test_fused_loss_grad_sharded_matches_unsharded(self, mesh8, interleaved):
         """The fused L2 loss+grad kernel (ops/fit_kernel.py) under shard_map:
         per-slab fused loss/grads psum to the unsharded fused values."""
@@ -209,6 +213,7 @@ class TestShardedPallasGradients:
 
 
 class TestGraftEntry:
+    @pytest.mark.slow
     def test_dryrun_multichip(self):
         import __graft_entry__ as ge
 
@@ -337,6 +342,7 @@ class TestPallasCollectives:
             want = jnp.sum(leaf, axis=0)
             np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.slow
     def test_loss_and_grad_with_ring_allreduce(self, mesh8):
         o, d = camera_rays(CAM, CFG.width, CFG.height)
         target = s.render(s.reference_scene(), CAM, LIGHT, MAT, CFG)

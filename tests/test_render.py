@@ -196,3 +196,35 @@ def test_render_batch_pallas_interpret_matches_xla():
     out = s.render_batch(scene, cameras, light, mat, cfg, engine="pallas", pc=pc)
     ref = s.render_batch(scene, cameras, light, mat, cfg, engine="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+class TestFastProfile:
+    """config.fast_config: the declared non-parity fast profile (Keinert
+    relaxation + tetrahedron normals + 48-step shadows)."""
+
+    def test_image_close_to_parity(self):
+        import dataclasses
+
+        import sdf3d_tpu as s
+
+        cfg = dataclasses.replace(s.REFERENCE_CONFIG, width=128, height=96)
+        fast = s.fast_config(cfg)
+        assert fast.march.relaxation == 1.6
+        assert fast.normals == "tetrahedron"
+        assert fast.shadow.max_steps == 48
+        light, mat = s.reference_light(), s.reference_material()
+        scene = s.flagship_scene()
+        a = np.asarray(s.render(scene, s.Camera.reference(), light, mat, cfg))
+        b = np.asarray(s.render(scene, s.Camera.reference(), light, mat, fast))
+        mse = float(np.mean((a - b) ** 2))
+        psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+        assert psnr > 30.0, f"fast profile too far from parity: {psnr:.1f} dB"
+
+    def test_fused_fit_eligible(self):
+        import sdf3d_tpu as s
+        from sdf3d_tpu.ops.fit_kernel import fused_l2_eligible
+
+        fast = s.fast_config()
+        assert fused_l2_eligible(fast, s.reference_scene())
+        # The silhouette term needs the unrelaxed min-SDF tracker.
+        assert not fused_l2_eligible(fast, s.reference_scene(), sil_w=1.0)
