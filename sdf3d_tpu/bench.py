@@ -121,6 +121,7 @@ def run_benchmark(
     mode: str = "fwd_bwd",
     iters: int = 10,
     frames_per_dispatch: int = 16,
+    profile: str = "parity",
 ) -> dict:
     """Time the renderer; returns the one-line JSON payload (BASELINE metric:
     rays/s at 1080p sphere-trace fwd+bwd, target 1e9/chip).
@@ -151,6 +152,13 @@ def run_benchmark(
     import sdf3d_tpu as s
 
     cfg = dataclasses.replace(s.REFERENCE_CONFIG, width=width, height=height)
+    if profile == "fast":
+        # The declared non-parity fast profile (config.fast_config):
+        # tetrahedron normals + 32-step shadows.  The driver metric stays
+        # on "parity"; this knob powers benchmarks/fast_profile.
+        cfg = s.fast_config(cfg)
+    elif profile != "parity":
+        raise ValueError(f"profile must be 'parity' or 'fast', not {profile!r}")
     cam, light, mat = s.Camera.reference(), s.reference_light(), s.reference_material()
     scene = {"reference": s.reference_scene, "flagship": s.flagship_scene, "sphere": s.sphere_scene}[scene_name]()
     K = max(1, frames_per_dispatch)

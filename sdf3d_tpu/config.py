@@ -122,15 +122,22 @@ REFERENCE_CONFIG = RenderConfig()
 
 def fast_config(base: RenderConfig = REFERENCE_CONFIG) -> RenderConfig:
     """The declared non-parity **fast profile**: same scene semantics, fewer
-    ops per ray.  The parity march already runs at VPU op-count
-    speed-of-light (docs/performance.md), so further throughput must change
-    the op count:
+    ops per ray.  Its contents are *measurement-driven* (the A/B sweep lives
+    in ``benchmarks/fast_profile.py``; numbers in docs/performance.md):
 
-    - Keinert over-relaxed sphere tracing (``relaxation=1.6``) — ~20-40%
-      fewer primary-march steps on grazing rays;
-    - tetrahedron normals — 4 SDF taps instead of 6;
-    - shadow march capped at 48 steps — the shadow factor converges (or the
-      lane exits) well before 100 steps for k=10 penumbras.
+    - tetrahedron normals — 4 SDF taps instead of 6 (the only per-ray
+      op-count trim that measurably wins on this hardware);
+    - shadow march capped at 32 steps — near-neutral in time (whole-tile
+      early exit already terminates most shadow marches) but it caps the
+      worst-case tile, and costs <0.01 dB over capping at 100.
+
+    Keinert over-relaxation (``march.relaxation``) was measured and
+    REJECTED for this profile: at 1080p on the reference scene ω=1.6 is
+    ~19% *slower* than the parity march (2.32 vs 1.95 ms single-point) —
+    whole-tile exit is gated by the slowest lane, and the overlap-check
+    fallback adds ~40% bookkeeping per step — while costing 14 dB of image
+    PSNR.  The knob remains available for eval-dominated scenes (many
+    primitives per eval), where fewer steps outweigh the bookkeeping.
 
     Image delta vs the parity profile is quantified in
     docs/performance.md (PSNR table, measured per scene); parity tests and
@@ -138,7 +145,6 @@ def fast_config(base: RenderConfig = REFERENCE_CONFIG) -> RenderConfig:
     """
     return dataclasses.replace(
         base,
-        march=dataclasses.replace(base.march, relaxation=1.6),
         normals="tetrahedron",
-        shadow=dataclasses.replace(base.shadow, max_steps=48),
+        shadow=dataclasses.replace(base.shadow, max_steps=32),
     )

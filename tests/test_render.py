@@ -199,8 +199,9 @@ def test_render_batch_pallas_interpret_matches_xla():
 
 
 class TestFastProfile:
-    """config.fast_config: the declared non-parity fast profile (Keinert
-    relaxation + tetrahedron normals + 48-step shadows)."""
+    """config.fast_config: the declared non-parity fast profile
+    (tetrahedron normals + 32-step shadows; relaxation measured-and-
+    rejected — see config.fast_config)."""
 
     def test_image_close_to_parity(self):
         import dataclasses
@@ -209,9 +210,9 @@ class TestFastProfile:
 
         cfg = dataclasses.replace(s.REFERENCE_CONFIG, width=128, height=96)
         fast = s.fast_config(cfg)
-        assert fast.march.relaxation == 1.6
+        assert fast.march.relaxation == 1.0  # ω>1 measured slower: see fast_config
         assert fast.normals == "tetrahedron"
-        assert fast.shadow.max_steps == 48
+        assert fast.shadow.max_steps == 32
         light, mat = s.reference_light(), s.reference_material()
         scene = s.flagship_scene()
         a = np.asarray(s.render(scene, s.Camera.reference(), light, mat, cfg))
@@ -226,5 +227,13 @@ class TestFastProfile:
 
         fast = s.fast_config()
         assert fused_l2_eligible(fast, s.reference_scene())
-        # The silhouette term needs the unrelaxed min-SDF tracker.
-        assert not fused_l2_eligible(fast, s.reference_scene(), sil_w=1.0)
+        # The fast profile marches unrelaxed, so the silhouette min-SDF
+        # tracker composes with it too.
+        assert fused_l2_eligible(fast, s.reference_scene(), sil_w=1.0)
+        # A relaxed march, by contrast, is locked out of the tracker.
+        import dataclasses as _dc
+
+        relaxed = _dc.replace(
+            fast, march=_dc.replace(fast.march, relaxation=1.6)
+        )
+        assert not fused_l2_eligible(relaxed, s.reference_scene(), sil_w=1.0)
