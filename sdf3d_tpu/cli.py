@@ -29,10 +29,20 @@ def _build_scene(name: str):
     return scenes[name]()
 
 
+def _apply_profile(cfg, args):
+    """Apply ``--profile fast`` (config.fast_config) to a base config.
+    Explicit flags (``--normals`` etc.) are applied *after* the profile by
+    the callers, so they win over the profile's choices."""
+    import sdf3d_tpu as s
+
+    profile = getattr(args, "profile", "parity")
+    return s.fast_config(cfg) if profile == "fast" else cfg
+
+
 def _build_config(args):
     import sdf3d_tpu as s
 
-    cfg = s.REFERENCE_CONFIG
+    cfg = _apply_profile(s.REFERENCE_CONFIG, args)
     updates = {}
     if args.width:
         updates["width"] = args.width
@@ -69,6 +79,7 @@ def cmd_render(args) -> int:
         light, mat = setup["light"], setup["material"]
         # Explicit flags are applied ON TOP of the loaded setup — every flag
         # the no-file path honors is honored here too (none silently dropped).
+        cfg = _apply_profile(cfg, args)
         updates = {}
         if args.width:
             updates["width"] = args.width
@@ -184,7 +195,8 @@ def cmd_bench(args) -> int:
     from sdf3d_tpu.bench import run_benchmark
 
     result = run_benchmark(width=args.width or 1920, height=args.height or 1080,
-                           engine=args.engine, interpret=args.interpret)
+                           engine=args.engine, interpret=args.interpret,
+                           profile=getattr(args, "profile", "parity"))
     print(json.dumps(result))
     return 0
 
@@ -220,6 +232,8 @@ def main(argv=None) -> int:
     pr.add_argument("--ao", action="store_true")
     pr.add_argument("--depth", action="store_true", help="write turbo-mapped depth instead of RGB")
     pr.add_argument("--engine", choices=["xla", "pallas"], default="xla")
+    pr.add_argument("--profile", choices=["parity", "fast"], default="parity",
+                    help="'fast' = config.fast_config (non-parity, measured faster)")
     pr.add_argument("--interpret", action="store_true", help="Pallas interpreter mode (CPU)")
     pr.set_defaults(fn=cmd_render)
 
@@ -249,6 +263,8 @@ def main(argv=None) -> int:
     pb.add_argument("--height", type=int, default=0)
     pb.add_argument("--engine", choices=["xla", "pallas"], default="pallas")
     pb.add_argument("--interpret", action="store_true")
+    pb.add_argument("--profile", choices=["parity", "fast"], default="parity",
+                    help="'fast' = config.fast_config (non-parity, measured faster)")
     pb.set_defaults(fn=cmd_bench)
 
     pi = sub.add_parser("info", help="version and device info")

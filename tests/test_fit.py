@@ -465,6 +465,34 @@ class TestCLI:
         rc = main(["render", "--scene", "sphere", "--width", "32", "--height", "24", "--out", str(out)])
         assert rc == 0 and out.exists()
 
+    def test_render_profile_fast(self, tmp_path):
+        from sdf3d_tpu.cli import main
+
+        out = tmp_path / "f.png"
+        rc = main(["render", "--scene", "sphere", "--width", "32", "--height", "24",
+                   "--profile", "fast", "--out", str(out)])
+        assert rc == 0 and out.exists()
+
+    def test_render_profile_explicit_flag_wins(self, tmp_path, monkeypatch):
+        # --normals central on top of --profile fast: the explicit flag wins.
+        import sdf3d_tpu.cli as cli
+
+        seen = {}
+        orig = cli._build_config
+
+        def spy(args):
+            cfg = orig(args)
+            seen["cfg"] = cfg
+            return cfg
+
+        monkeypatch.setattr(cli, "_build_config", spy)
+        out = tmp_path / "g.png"
+        rc = cli.main(["render", "--scene", "sphere", "--width", "16", "--height", "12",
+                       "--profile", "fast", "--normals", "central", "--out", str(out)])
+        assert rc == 0
+        assert seen["cfg"].normals == "central"
+        assert seen["cfg"].shadow.max_steps == 32  # profile retained elsewhere
+
     def test_info_command(self, capsys):
         from sdf3d_tpu.cli import main
 

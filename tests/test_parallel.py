@@ -82,6 +82,27 @@ class TestShardedRender:
             render_sharded(s.reference_scene(), CAM, LIGHT, MAT, cfg, mesh8)
 
 
+class Test4KSharded:
+    """BASELINE configs[4]: 'tile-sharded 4K render'.  Full-resolution
+    3840x2160 across the 8-device mesh, truncated march so the CPU fakes
+    finish in seconds; the full-depth 4K numbers are benched on the chip
+    (docs/performance.md)."""
+
+    @pytest.mark.slow
+    def test_4k_sharded_equals_unsharded(self, mesh8):
+        cfg = dataclasses.replace(
+            s.REFERENCE_CONFIG,
+            width=3840,
+            height=2160,
+            march=dataclasses.replace(s.REFERENCE_CONFIG.march, max_steps=6),
+            shadow=dataclasses.replace(s.REFERENCE_CONFIG.shadow, enabled=False),
+        )
+        a = np.asarray(s.render(s.reference_scene(), CAM, LIGHT, MAT, cfg))
+        b = np.asarray(render_sharded(s.reference_scene(), CAM, LIGHT, MAT, cfg, mesh8))
+        assert a.shape == (2160, 3840, 3)
+        np.testing.assert_array_equal(a, b)
+
+
 class TestShardedGradients:
     @pytest.mark.slow
     def test_psum_grads_match_unsharded(self, mesh8):
