@@ -51,6 +51,7 @@ from sdf3d_tpu.scenes import (
     capsule_chain,
     csg_showcase,
     flagship_scene,
+    fractal_scene,
     lattice_scene,
     materials_scene,
     random_blobs,
@@ -81,8 +82,8 @@ __all__ = [
     "render_diff", "render_rays_diff", "sphere_trace_implicit",
     "render", "render_aa", "render_banded", "render_batch", "render_depth", "render_rays", "shade_pixels",
     "render_stereo", "stereo_cameras",
-    "capsule_chain", "csg_showcase", "flagship_scene", "lattice_scene", "materials_scene",
-    "random_blobs", "reference_scene", "sphere_scene",
+    "capsule_chain", "csg_showcase", "flagship_scene", "fractal_scene", "lattice_scene",
+    "materials_scene", "random_blobs", "reference_scene", "sphere_scene",
     "FitConfig", "FitResult", "ViewFitResult", "fit_scene", "fit_scene_multiview", "fit_view",
     "load_checkpoint", "save_checkpoint",
     "__version__",

@@ -160,7 +160,8 @@ def run_benchmark(
     elif profile != "parity":
         raise ValueError(f"profile must be 'parity' or 'fast', not {profile!r}")
     cam, light, mat = s.Camera.reference(), s.reference_light(), s.reference_material()
-    scene = {"reference": s.reference_scene, "flagship": s.flagship_scene, "sphere": s.sphere_scene}[scene_name]()
+    scene = {"reference": s.reference_scene, "flagship": s.flagship_scene,
+             "sphere": s.sphere_scene, "fractal": s.fractal_scene}[scene_name]()
     K = max(1, frames_per_dispatch)
 
     if engine == "pallas":

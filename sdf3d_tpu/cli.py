@@ -23,6 +23,7 @@ def _build_scene(name: str):
         "reference": s.reference_scene,
         "flagship": s.flagship_scene,
         "sphere": s.sphere_scene,
+        "fractal": s.fractal_scene,
     }
     if name not in scenes:
         raise SystemExit(f"unknown scene {name!r}; choose from {sorted(scenes)}")

@@ -342,6 +342,7 @@ def fit_step_kernel(
         cost_estimate=cost,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=semantics,
+            vmem_limit_bytes=pc.vmem_limit_bytes,
         ),
         interpret=pc.interpret,
     )(uniforms, params, *planes_in)

@@ -292,6 +292,7 @@ def render_kernel_backward(
         out_shape=jax.ShapeDtypeStruct((grid[0], grid[1], 8, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=pc.vmem_limit_bytes,
         ),
         interpret=pc.interpret,
     )(uniforms, params, gr, gg, gb, t_p, sh_p, ao_p)

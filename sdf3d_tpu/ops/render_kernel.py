@@ -94,6 +94,11 @@ class PallasRenderConfig:
     point-form evals for oracle-parity work.
 
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests).
+
+    ``vmem_limit_bytes``: raises Mosaic's default 16 MB scoped-vmem rail.
+    Needed by expression-heavy scenes (the Mandelbulb's unrolled ~300-op
+    distance estimator makes the fit kernel's AD section exceed the rail at
+    the default tile); ``None`` keeps the compiler default.
     """
 
     tile_h: int = 16
@@ -101,6 +106,7 @@ class PallasRenderConfig:
     check_every: int = 20
     ray_sdf: bool = True
     interpret: bool = False
+    vmem_limit_bytes: int | None = None
 
 
 def pack_uniforms(camera, light, mat, ray_mode: str = "reference") -> jnp.ndarray:
@@ -616,6 +622,7 @@ def _render_kernel_call(scene_treedef, leaf_shapes, params, uniforms, cfg: Rende
         # single-core chips (v5e).
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=pc.vmem_limit_bytes,
         ),
         interpret=pc.interpret,
     )(uniforms, params)

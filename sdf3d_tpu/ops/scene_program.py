@@ -163,6 +163,15 @@ def _ellipsoid(n, px, py, pz, getp, off):
     return k0 * (k0 - 1.0) / jnp.maximum(k1, 1e-12)
 
 
+def _mandelbulb(n, px, py, pz, getp, off):
+    from sdf3d_tpu.sdf.primitives import _mandelbulb_de
+
+    cx, cy, cz, sc = (getp(off + i) for i in range(4))
+    inv = 1.0 / sc
+    d = _mandelbulb_de((px - cx) * inv, (py - cy) * inv, (pz - cz) * inv, n.iterations)
+    return d * sc
+
+
 def _binary(op):
     def h(n, px, py, pz, getp, off):
         da = _emit(n.a, px, py, pz, getp, off)
@@ -289,6 +298,7 @@ _HANDLERS = {
     primitives.Capsule: _capsule,
     primitives.Cylinder: _cylinder,
     primitives.Ellipsoid: _ellipsoid,
+    primitives.Mandelbulb: _mandelbulb,
     csg.Union: _binary(jnp.minimum),
     csg.Intersection: _binary(jnp.maximum),
     csg.Subtraction: _binary(lambda a, b: jnp.maximum(a, -b)),

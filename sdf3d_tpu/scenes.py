@@ -107,6 +107,19 @@ def lattice_scene(period: float = 1.2, radius: float = 0.18) -> SDFNode:
     return union(ground_plane(), field)
 
 
+def fractal_scene(iterations: int = 6) -> SDFNode:
+    """Power-8 Mandelbulb over the ground plane — the **eval-dominated**
+    stress scene (~300 VPU ops per scene eval vs ~10 for the reference
+    scene): the regime where per-step cost dwarfs march bookkeeping, so
+    over-relaxed stepping and step-count levers actually pay
+    (docs/performance.md, lever 8)."""
+    from sdf3d_tpu.sdf import mandelbulb
+
+    return union(
+        ground_plane(), mandelbulb(center=(0.0, 0.55, 0.0), scale=0.45, iterations=iterations)
+    )
+
+
 def capsule_chain(n: int = 5) -> SDFNode:
     """Smooth-blended chain of capsules — a deep CSG tree (2n+1 nodes) for
     scene-compiler and march scaling tests."""

@@ -6,6 +6,7 @@ from sdf3d_tpu.sdf.primitives import (
     Capsule,
     Cylinder,
     Ellipsoid,
+    Mandelbulb,
     Plane,
     RoundBox,
     Sphere,
@@ -15,6 +16,7 @@ from sdf3d_tpu.sdf.primitives import (
     cylinder,
     ellipsoid,
     ground_plane,
+    mandelbulb,
     plane,
     round_box,
     sphere,
@@ -67,9 +69,9 @@ __all__ = [
     # base
     "SDFNode", "as_f32", "vdot", "vlength", "vnormalize",
     # primitives
-    "Box", "Capsule", "Cylinder", "Ellipsoid", "Plane", "RoundBox", "Sphere",
-    "Torus", "box", "capsule", "cylinder", "ellipsoid", "ground_plane",
-    "plane", "round_box", "sphere", "torus",
+    "Box", "Capsule", "Cylinder", "Ellipsoid", "Mandelbulb", "Plane",
+    "RoundBox", "Sphere", "Torus", "box", "capsule", "cylinder", "ellipsoid",
+    "ground_plane", "mandelbulb", "plane", "round_box", "sphere", "torus",
     # csg
     "Intersection", "SmoothIntersection", "SmoothSubtraction", "SmoothUnion",
     "Subtraction", "Union", "intersection", "smooth_intersection",
