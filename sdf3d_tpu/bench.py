@@ -165,9 +165,9 @@ def run_benchmark(
     K = max(1, frames_per_dispatch)
 
     if engine == "pallas":
-        from sdf3d_tpu.ops import PallasRenderConfig, render_pallas
+        from sdf3d_tpu.ops import default_pallas_config, render_pallas
 
-        pc = PallasRenderConfig(interpret=interpret)
+        pc = default_pallas_config(scene, interpret=interpret)
 
         def render_one(sc, camera):
             return render_pallas(cfg, pc, sc, camera, light, mat)

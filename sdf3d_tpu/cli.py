@@ -108,9 +108,9 @@ def cmd_render(args) -> int:
         light, mat = s.reference_light(), s.reference_material()
 
     if args.engine == "pallas":
-        from sdf3d_tpu.ops import PallasRenderConfig, render_pallas
+        from sdf3d_tpu.ops import default_pallas_config, render_pallas
 
-        img = render_pallas(cfg, PallasRenderConfig(interpret=args.interpret), scene, cam, light, mat)
+        img = render_pallas(cfg, default_pallas_config(scene, interpret=args.interpret), scene, cam, light, mat)
     else:
         img = s.render(scene, cam, light, mat, cfg)
 

@@ -136,8 +136,9 @@ def fast_config(base: RenderConfig = REFERENCE_CONFIG) -> RenderConfig:
     ~19% *slower* than the parity march (2.32 vs 1.95 ms single-point) —
     whole-tile exit is gated by the slowest lane, and the overlap-check
     fallback adds ~40% bookkeeping per step — while costing 14 dB of image
-    PSNR.  The knob remains available for eval-dominated scenes (many
-    primitives per eval), where fewer steps outweigh the bookkeeping.
+    PSNR.  Re-tested on the eval-dominated Mandelbulb (~300 ops/eval):
+    still ~flat (best ω=1.2 wins 1.4%) — tile gating, not bookkeeping, is
+    the binding constraint in both regimes.  The knob stays opt-in.
 
     Image delta vs the parity profile is quantified in
     docs/performance.md (PSNR table, measured per scene); parity tests and

@@ -186,15 +186,16 @@ def fit_scene(
     multihost = mesh is not None and jax.process_count() > 1
 
     def _make_pc():
-        from sdf3d_tpu.ops import PallasRenderConfig
+        from sdf3d_tpu.ops import default_pallas_config
 
         if fit_config.pallas_tile is not None:
-            return PallasRenderConfig(
+            return default_pallas_config(
+                scene0,
                 tile_h=fit_config.pallas_tile[0],
                 tile_w=fit_config.pallas_tile[1],
                 interpret=fit_config.pallas_interpret,
             )
-        return PallasRenderConfig(interpret=fit_config.pallas_interpret)
+        return default_pallas_config(scene0, interpret=fit_config.pallas_interpret)
 
     def _cov_missing():
         return ValueError(
@@ -557,17 +558,18 @@ def fit_scene_multiview(
         return total
 
     if fit_config.engine == "pallas":
-        from sdf3d_tpu.ops import PallasRenderConfig, render_pallas
+        from sdf3d_tpu.ops import default_pallas_config, render_pallas
         from sdf3d_tpu.ops.fit_kernel import fused_l2_eligible, multiview_loss_and_grads
 
         if fit_config.pallas_tile is not None:
-            pc = PallasRenderConfig(
+            pc = default_pallas_config(
+                scene0,
                 tile_h=fit_config.pallas_tile[0],
                 tile_w=fit_config.pallas_tile[1],
                 interpret=fit_config.pallas_interpret,
             )
         else:
-            pc = PallasRenderConfig(interpret=fit_config.pallas_interpret)
+            pc = default_pallas_config(scene0, interpret=fit_config.pallas_interpret)
 
         if fused_l2_eligible(
             render_config, scene0, loss=fit_config.loss,
@@ -784,17 +786,18 @@ def fit_view(
 
     use_fused = False
     if fit_config.engine == "pallas":
-        from sdf3d_tpu.ops import PallasRenderConfig, render_pallas
+        from sdf3d_tpu.ops import default_pallas_config, render_pallas
         from sdf3d_tpu.ops.fit_kernel import fused_l2_eligible, l2_loss_and_grads
 
         if fit_config.pallas_tile is not None:
-            pc = PallasRenderConfig(
+            pc = default_pallas_config(
+                scene,
                 tile_h=fit_config.pallas_tile[0],
                 tile_w=fit_config.pallas_tile[1],
                 interpret=fit_config.pallas_interpret,
             )
         else:
-            pc = PallasRenderConfig(interpret=fit_config.pallas_interpret)
+            pc = default_pallas_config(scene, interpret=fit_config.pallas_interpret)
         use_fused = fused_l2_eligible(
             render_config, pc=pc, scene=scene, loss=fit_config.loss,
             levels=fit_config.pyramid_levels, sil_w=sil_w,

@@ -17,7 +17,11 @@ shader that *is* the renderer, and the empty compute-kernel slot
 """
 
 from sdf3d_tpu.ops.scene_program import compile_scene, scene_param_vector
-from sdf3d_tpu.ops.render_kernel import PallasRenderConfig, render_kernel_forward
+from sdf3d_tpu.ops.render_kernel import (
+    PallasRenderConfig,
+    default_pallas_config,
+    render_kernel_forward,
+)
 from sdf3d_tpu.ops.render_pallas import render_pallas, render_pallas_depth, render_pallas_planar
 from sdf3d_tpu.ops.neural_kernel import NeuralRenderConfig, render_neural, render_neural_forward
 
@@ -25,6 +29,7 @@ __all__ = [
     "compile_scene",
     "scene_param_vector",
     "PallasRenderConfig",
+    "default_pallas_config",
     "render_kernel_forward",
     "render_pallas",
     "render_pallas_planar",

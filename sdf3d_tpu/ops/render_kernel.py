@@ -109,6 +109,38 @@ class PallasRenderConfig:
     vmem_limit_bytes: int | None = None
 
 
+def _walk_nodes(node):
+    yield node
+    for f in dataclasses.fields(node):
+        v = getattr(node, f.name)
+        if isinstance(v, SDFNode):
+            yield from _walk_nodes(v)
+
+
+def scene_vmem_hint(scene) -> int | None:
+    """Scoped-vmem requirement hint for a scene, or ``None`` for the
+    compiler default.  Expression-heavy primitives (the Mandelbulb's
+    unrolled ~300-op DE) push the fit kernel's AD section past the 16 MB
+    rail — measured 25 MB at the default tile; 96 MB leaves headroom for
+    bigger tiles and deeper iteration counts."""
+    from sdf3d_tpu.sdf.primitives import Mandelbulb
+
+    if any(isinstance(n, Mandelbulb) for n in _walk_nodes(scene)):
+        return 96 * 1024 * 1024
+    return None
+
+
+def default_pallas_config(scene=None, **overrides) -> PallasRenderConfig:
+    """A :class:`PallasRenderConfig` with scene-aware defaults: callers that
+    don't hand-tune a config get ``vmem_limit_bytes`` raised automatically
+    for scenes that need it (instead of a Mosaic scoped-vmem OOM)."""
+    if scene is not None and overrides.get("vmem_limit_bytes") is None:
+        hint = scene_vmem_hint(scene)
+        if hint is not None:
+            overrides["vmem_limit_bytes"] = hint
+    return PallasRenderConfig(**overrides)
+
+
 def pack_uniforms(camera, light, mat, ray_mode: str = "reference") -> jnp.ndarray:
     """Flatten camera/light/material pytrees into the (N_UNIFORMS,) = (30,)
     uniform vector (layout above; row0/rowstride slots are patched later)."""

@@ -155,9 +155,9 @@ def render_aa(
         config, width=config.width * factor, height=config.height * factor
     )
     if engine == "pallas":
-        from sdf3d_tpu.ops import PallasRenderConfig, render_pallas
+        from sdf3d_tpu.ops import default_pallas_config, render_pallas
 
-        img = render_pallas(big, PallasRenderConfig(), scene, camera, light, mat)
+        img = render_pallas(big, default_pallas_config(scene), scene, camera, light, mat)
     elif engine == "diff":
         from sdf3d_tpu.diff import render_diff
 
@@ -295,10 +295,9 @@ def render_batch(
     import jax as _jax
 
     if engine == "pallas":
-        from sdf3d_tpu.ops import PallasRenderConfig
-        from sdf3d_tpu.ops.render_kernel import render_kernel_forward
+        from sdf3d_tpu.ops.render_kernel import default_pallas_config, render_kernel_forward
 
-        pc = pc or PallasRenderConfig()
+        pc = pc or default_pallas_config(scene)
 
         def one(cam):
             return render_kernel_forward(scene, cam, light, mat, config, pc)[0]

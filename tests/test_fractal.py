@@ -89,6 +89,17 @@ class TestFractalRender:
 
 
 class TestFractalFit:
+    def test_default_pallas_config_raises_vmem(self):
+        """Scene-aware defaults: fractal scenes get the raised scoped-vmem
+        rail automatically (a bare fit_scene(engine='pallas') must not OOM
+        in Mosaic); cheap scenes keep the compiler default."""
+        from sdf3d_tpu.ops import default_pallas_config
+
+        assert default_pallas_config(s.fractal_scene()).vmem_limit_bytes == 96 * 1024 * 1024
+        assert default_pallas_config(s.reference_scene()).vmem_limit_bytes is None
+        # An explicit override always wins.
+        assert default_pallas_config(s.fractal_scene(), vmem_limit_bytes=1).vmem_limit_bytes == 1
+
     def test_fused_fit_eligible(self):
         """The fractal scene is eligible for the single-launch fused fit
         kernel (its emitter compiles).  Grad parity itself is TPU-gated
