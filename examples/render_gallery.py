@@ -43,6 +43,7 @@ def main():
         "lattice": (s.lattice_scene(), s.Camera.orbit(15, 18, 3.0)),
         "capsule_chain": (s.capsule_chain(), s.Camera.orbit(0, 25, 2.2)),
         "random_blobs": (s.random_blobs(n=8), s.Camera.orbit(40, 22, 2.4)),
+        "fractal": (s.fractal_scene(), s.Camera.orbit(20, 15, 1.9)),
     }
     for name, (scene, cam) in scenes.items():
         img = s.render(scene, cam, light, mat, cfg)

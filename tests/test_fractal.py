@@ -135,6 +135,36 @@ class TestFractalFit:
         flat = np.asarray(flat)
         assert np.isfinite(flat).all() and np.abs(flat).max() > 0.0
 
+    @pytest.mark.slow
+    def test_scale_recovery(self):
+        """Inverse rendering on the fractal: recover a perturbed bulb scale
+        from the target image (plane + center frozen via the trainable
+        mask).  Free-form shape recovery on the eval-dominated family."""
+        from sdf3d_tpu.fit import FitConfig, fit_scene
+
+        cfg = dataclasses.replace(
+            s.REFERENCE_CONFIG,
+            width=48,
+            height=36,
+            march=dataclasses.replace(s.REFERENCE_CONFIG.march, max_steps=24),
+            shadow=dataclasses.replace(s.REFERENCE_CONFIG.shadow, enabled=False),
+        )
+        true_scene = s.fractal_scene(iterations=4)
+        target = s.render(true_scene, CAM, LIGHT, MAT, cfg)
+        bulb0 = dataclasses.replace(true_scene.b, scale=jnp.float32(0.52))
+        scene0 = dataclasses.replace(true_scene, b=bulb0)
+        trainable = jax.tree_util.tree_map(lambda _: False, scene0)
+        trainable = dataclasses.replace(
+            trainable, b=dataclasses.replace(trainable.b, scale=True)
+        )
+        result = fit_scene(
+            target, scene0, CAM, LIGHT, MAT, cfg,
+            FitConfig(steps=60, learning_rate=5e-3, log_every=1000),
+            trainable=trainable,
+        )
+        assert float(result.scene.b.scale) == pytest.approx(0.45, abs=0.01)
+        assert result.losses[-1] < 0.2 * result.losses[0]
+
     @pytest.mark.tpu
     @pytest.mark.slow
     def test_fused_grads_match_xla_on_tpu(self):
