@@ -116,7 +116,11 @@ def main() -> None:
     o, d = camera_rays(cam, cfg.width, cfg.height, cfg.ray_mode)
 
     lines = []
-    for scene_name, scene in (("reference", s.reference_scene()), ("flagship", s.flagship_scene())):
+    for scene_name, scene in (
+        ("reference", s.reference_scene()),
+        ("flagship", s.flagship_scene()),
+        ("fractal", s.fractal_scene()),
+    ):
         steps = np.asarray(
             march_step_counts(scene, o, d, cfg.march, cfg.shadow, light)
         )

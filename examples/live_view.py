@@ -23,7 +23,7 @@ import sdf3d_tpu as s
 from sdf3d_tpu.interact.app import InteractiveSession
 from sdf3d_tpu.interact.devices import JoystickReader
 from sdf3d_tpu.interact.viewer import LiveViewer
-from sdf3d_tpu.ops import PallasRenderConfig, render_kernel_forward
+from sdf3d_tpu.ops import default_pallas_config, render_kernel_forward
 
 
 def main():
@@ -31,18 +31,24 @@ def main():
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--width", type=int, default=800)
     ap.add_argument("--height", type=int, default=600)
-    ap.add_argument("--scene", default="reference", choices=["reference", "flagship"])
+    ap.add_argument("--scene", default="reference",
+                    choices=["reference", "flagship", "fractal"])
+    ap.add_argument("--profile", default="fast", choices=["parity", "fast"],
+                    help="'fast' (default here: interactivity over parity) = config.fast_config")
     ap.add_argument("--frames", type=int, default=None, help="stop after N frames (default: run until ctrl-C)")
     args = ap.parse_args()
 
     cfg = dataclasses.replace(s.REFERENCE_CONFIG, width=args.width, height=args.height)
-    pc = PallasRenderConfig()
-    scene = {"reference": s.reference_scene, "flagship": s.flagship_scene}[args.scene]()
+    if args.profile == "fast":
+        cfg = s.fast_config(cfg)
+    scene = {"reference": s.reference_scene, "flagship": s.flagship_scene,
+             "fractal": s.fractal_scene}[args.scene]()
+    pc = default_pallas_config(scene)
     light, mat = s.reference_light(), s.reference_material()
 
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     if not on_tpu:
-        pc = PallasRenderConfig(tile_h=8, tile_w=128, interpret=True)
+        pc = default_pallas_config(scene, tile_h=8, tile_w=128, interpret=True)
 
     @jax.jit
     def render(cam):
