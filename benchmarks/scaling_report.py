@@ -14,10 +14,11 @@ layouts:
   ``shard_interleaved``/``interleaved=True`` layout): every device sees a
   representative sky/ground/object mix.
 
-Writes one JSON line per (scene, layout, n) to stdout and appends the full
-set to SCALING.jsonl at the repo root (the per-round artifact the judge can
-diff).  Run: ``python -m benchmarks.scaling_report [--width 1920 --height
-1080]`` (any backend — step counts are backend-independent integers).
+Writes one JSON line per (scene, layout, n) to stdout and REWRITES
+SCALING.jsonl at the repo root whole (idempotent — re-running never
+duplicates rows; git history preserves prior rounds).  Run:
+``python -m benchmarks.scaling_report [--width 1920 --height 1080]``
+(any backend — step counts are backend-independent integers).
 """
 
 from __future__ import annotations

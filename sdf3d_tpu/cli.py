@@ -56,12 +56,23 @@ def _build_config(args):
     return dataclasses.replace(cfg, **updates) if updates else cfg
 
 
+def _orbit_override_given(args) -> bool:
+    """True when ANY orbit flag was passed explicitly.  Flags default to
+    None (not 0.0) so ``--azimuth 0`` selects the zero-azimuth orbit and
+    ``--radius`` alone also triggers the override."""
+    return any(
+        getattr(args, k, None) is not None for k in ("azimuth", "elevation", "radius")
+    )
+
+
 def _build_camera(args):
     import sdf3d_tpu as s
 
-    if args.azimuth or args.elevation:
+    if _orbit_override_given(args):
         return s.Camera.orbit(
-            azimuth_deg=args.azimuth, elevation_deg=args.elevation, radius=args.radius
+            azimuth_deg=args.azimuth or 0.0,
+            elevation_deg=args.elevation or 0.0,
+            radius=args.radius if args.radius is not None else 2.0,
         )
     return s.Camera.reference()
 
@@ -92,13 +103,20 @@ def cmd_render(args) -> int:
             updates["ao"] = dataclasses.replace(cfg.ao, enabled=True)
         if updates:
             cfg = dataclasses.replace(cfg, **updates)
-        if args.azimuth or args.elevation:
+        if _orbit_override_given(args):
             # Orbit override replaces the pose only; the file camera's fov
-            # is preserved (an azimuth flag shouldn't reset optics).
+            # AND its distance are preserved unless --radius is passed (an
+            # azimuth flag shouldn't teleport the camera to the default
+            # orbit radius).
+            # Distance about the default orbit target (camera.Camera.orbit's
+            # (0, 0.2, 0)) — exact for file cameras that came from orbit().
+            file_radius = float(
+                np.linalg.norm(np.asarray(cam.position) - np.array([0.0, 0.2, 0.0]))
+            )
             cam = s.Camera.orbit(
-                azimuth_deg=args.azimuth,
-                elevation_deg=args.elevation,
-                radius=args.radius,
+                azimuth_deg=args.azimuth or 0.0,
+                elevation_deg=args.elevation or 0.0,
+                radius=args.radius if args.radius is not None else file_radius,
                 fov_deg=float(cam.fov_deg),
             )
     else:
@@ -226,9 +244,11 @@ def main(argv=None) -> int:
     pr.add_argument("--width", type=int, default=0)
     pr.add_argument("--height", type=int, default=0)
     pr.add_argument("--out", default="render.png")
-    pr.add_argument("--azimuth", type=float, default=0.0)
-    pr.add_argument("--elevation", type=float, default=0.0)
-    pr.add_argument("--radius", type=float, default=2.0)
+    # None (not 0.0/2.0) so explicit zeros trigger the orbit override and a
+    # scene-file camera's distance is preserved unless --radius is passed.
+    pr.add_argument("--azimuth", type=float, default=None)
+    pr.add_argument("--elevation", type=float, default=None)
+    pr.add_argument("--radius", type=float, default=None)
     pr.add_argument("--normals", choices=["central", "tetrahedron", "autodiff"], default=None)
     pr.add_argument("--ao", action="store_true")
     pr.add_argument("--depth", action="store_true", help="write turbo-mapped depth instead of RGB")

@@ -312,6 +312,22 @@ def fit_scene(
                     "interleaved sharding needs height divisible by "
                     f"n_devices*tile_h ({render_config.height} % {n * th} != 0)"
                 )
+            if fit_config.loss == "multiscale":
+                # The pyramid pools *within* each device's rows.  Its blocks
+                # coincide with the unsharded objective's only when every
+                # device row-run starts and ends on a 2**levels boundary —
+                # otherwise the sharded fit silently optimizes a different
+                # (misaligned-block) loss than the same config without mesh.
+                lv = 1 << fit_config.pyramid_levels
+                run = th if interleaved else slab
+                if run % lv != 0:
+                    what = "tile_h" if interleaved else "slab height (height/n_devices)"
+                    raise ValueError(
+                        f"multiscale loss under row sharding needs the {what} "
+                        f"({run}) divisible by 2**pyramid_levels ({lv}) so pooled "
+                        "blocks align with the unsharded objective; adjust "
+                        "height/pyramid_levels/tile or use the xla engine unsharded"
+                    )
             slab_cfg = dataclasses.replace(
                 render_config, height=slab, ndc_height=render_config.height
             )
@@ -446,6 +462,26 @@ def fit_scene(
                     "overwritten)",
                     stacklevel=2,
                 )
+        if multihost:
+            # Only process 0 *writes* checkpoints (checkpoint.py), so on
+            # resume process 0's view is authoritative.  Without this
+            # broadcast, a host whose filesystem lacks (or has a stale copy
+            # of) the checkpoint would start at a different step with
+            # different parameters and issue mismatched collective programs
+            # — a hang, not an error.
+            from jax.experimental import multihost_utils
+
+            scene, opt_state, start_step = multihost_utils.broadcast_one_to_all(
+                (scene, opt_state, jnp.int32(start_step))
+            )
+            start_step = int(start_step)
+            # Loss history lengths can differ across processes (that is the
+            # failure being repaired), so broadcast into a step-sized buffer.
+            buf = jnp.zeros((start_step,), jnp.float32)
+            if losses:
+                vals = jnp.asarray(losses[:start_step], jnp.float32)
+                buf = buf.at[: vals.shape[0]].set(vals)
+            losses = [float(x) for x in multihost_utils.broadcast_one_to_all(buf)]
 
     n_pixels = render_config.width * render_config.height
     t0 = time.perf_counter()
@@ -543,14 +579,19 @@ def fit_scene_multiview(
                 f"{len(target_coverages)} coverage masks vs {len(targets)} targets"
             )
         target_coverages = [jnp.asarray(c, jnp.float32) for c in target_coverages]
-        ray_bundles = [
-            camera_rays(cam, render_config.width, render_config.height, render_config.ray_mode)
-            for cam in cameras
-        ]
 
     def _sil_total(scene_):
         if sil_w <= 0.0:
             return 0.0
+        # Ray bundles only exist on the non-fused paths that march them in
+        # XLA (the fused kernel re-derives rays from uniforms in-kernel, so
+        # eagerly building V full-image (H, W, 3) pairs there would waste
+        # ~2V·H·W·3 floats of device memory per fit).
+        if not ray_bundles:
+            ray_bundles.extend(
+                camera_rays(cam, render_config.width, render_config.height, render_config.ray_mode)
+                for cam in cameras
+            )
         total = 0.0
         for (o_v, d_v), cov_t in zip(ray_bundles, target_coverages):
             cov = coverage(render_config.march, scene_, o_v, d_v, fit_config.silhouette_beta)

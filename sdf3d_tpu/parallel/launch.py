@@ -183,14 +183,20 @@ def fit_arrays(mesh: Mesh, camera, render_config, target, target_fn=None,
         probe = np.asarray(target_fn(np.asarray([0])))
         channels = int(probe.shape[-1])
 
-    origins = row_sharded(
-        mesh, (H, W, 3),
-        lambda lo, hi: camera_rays_for_rows(camera, W, H, rows_of(lo, hi), render_config.ray_mode)[0],
-    )
-    directions = row_sharded(
-        mesh, (H, W, 3),
-        lambda lo, hi: camera_rays_for_rows(camera, W, H, rows_of(lo, hi), render_config.ray_mode)[1],
-    )
+    # One ray-gen per block: camera_rays_for_rows returns both bundles, so
+    # cache per (lo, hi) instead of regenerating for the directions pass.
+    ray_cache: dict = {}
+
+    def rays_block(lo, hi):
+        if (lo, hi) not in ray_cache:
+            ray_cache[(lo, hi)] = camera_rays_for_rows(
+                camera, W, H, rows_of(lo, hi), render_config.ray_mode
+            )
+        return ray_cache[(lo, hi)]
+
+    origins = row_sharded(mesh, (H, W, 3), lambda lo, hi: rays_block(lo, hi)[0])
+    directions = row_sharded(mesh, (H, W, 3), lambda lo, hi: rays_block(lo, hi)[1])
+    ray_cache.clear()
     target_g = row_sharded(
         mesh, (H, W, channels), lambda lo, hi: target_fn(rows_of(lo, hi))
     )

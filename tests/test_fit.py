@@ -501,6 +501,39 @@ class TestCLI:
 
 
 class TestFitEngines:
+    def test_sharded_multiscale_requires_aligned_rows(self):
+        """Misaligned pyramid blocks under row sharding would silently
+        optimize a different objective than the unsharded fit — the gate
+        must raise instead (contiguous: slab % 2**levels; interleaved:
+        tile_h % 2**levels)."""
+        import jax as _jax
+
+        from sdf3d_tpu.fit import FitConfig, fit_scene
+        from sdf3d_tpu.parallel import make_mesh
+
+        mesh = make_mesh(_jax.devices("cpu"), n_devices=8)
+        cam, light, mat = s.Camera.reference(), s.reference_light(), s.reference_material()
+        # height 48 -> slab 6, not divisible by 2**3.
+        cfg = dataclasses.replace(s.REFERENCE_CONFIG, width=64, height=48)
+        target = jnp.zeros((48, 64, 3), jnp.float32)
+        with pytest.raises(ValueError, match="multiscale loss under row sharding"):
+            fit_scene(
+                target, s.reference_scene(), cam, light, mat, cfg,
+                FitConfig(steps=1, engine="pallas", pallas_interpret=True,
+                          pallas_tile=(8, 64), loss="multiscale"),
+                mesh=mesh,
+            )
+        # Aligned (slab 8 % 8 == 0) runs.
+        cfg = dataclasses.replace(cfg, height=64)
+        target = jnp.zeros((64, 64, 3), jnp.float32)
+        result = fit_scene(
+            target, s.reference_scene(), cam, light, mat, cfg,
+            FitConfig(steps=1, engine="pallas", pallas_interpret=True,
+                      pallas_tile=(8, 64), loss="multiscale", log_every=1000),
+            mesh=mesh,
+        )
+        assert result.steps_run == 1
+
     def test_pallas_engine_multiscale_converges(self):
         target, scene0 = _target_and_init()
         trainable = jax.tree_util.tree_map(lambda _: True, scene0)

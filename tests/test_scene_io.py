@@ -176,3 +176,38 @@ class TestCLISceneFile:
         ])
         assert rc == 0
         assert out.exists()
+
+    def test_orbit_override_preserves_radius_and_zero_triggers(self, tmp_path, monkeypatch):
+        """--azimuth alone keeps the file camera's distance (no teleport to
+        the default orbit radius), and an explicit --azimuth 0 *does*
+        trigger the override (None-sentinel flags, not falsy-zero)."""
+        import numpy as np
+
+        import sdf3d_tpu.cli as cli
+
+        path = tmp_path / "setup.json"
+        cam = s.Camera.orbit(azimuth_deg=10.0, radius=3.5, fov_deg=42.0)
+        small = dataclasses.replace(CFG, width=16, height=12)
+        save_setup(path, SCENES["reference"](), config=small, camera=cam)
+
+        seen = {}
+        import sdf3d_tpu as sdf3d
+
+        orig_render = sdf3d.render
+
+        def spy(scene, camera, light, mat, cfg):
+            seen["cam"] = camera
+            return orig_render(scene, camera, light, mat, cfg)
+
+        monkeypatch.setattr(sdf3d, "render", spy)
+        out = tmp_path / "o.png"
+        rc = cli.main(["render", "--scene-file", str(path), "--out", str(out),
+                       "--azimuth", "0.0"])
+        assert rc == 0
+        got = seen["cam"]
+        # Distance about the orbit target preserved; azimuth-0 orbit applied.
+        r = float(np.linalg.norm(np.asarray(got.position) - np.array([0.0, 0.2, 0.0])))
+        assert r == pytest.approx(3.5, rel=1e-5)
+        assert float(got.fov_deg) == pytest.approx(42.0)
+        # azimuth 0, elevation 0 orbit at r=3.5 looks down -z from +z.
+        assert np.asarray(got.position)[2] == pytest.approx(3.5, rel=1e-4)
