@@ -60,6 +60,7 @@ class TestMandelbulbDE:
 
 
 class TestFractalRender:
+    @pytest.mark.slow
     def test_kernel_matches_xla(self):
         """Same `_mandelbulb_de` core in both paths; residual delta is march
         order-of-ops in f32 amplified at fractal silhouettes."""
@@ -109,6 +110,7 @@ class TestFractalFit:
 
         assert fused_l2_eligible(s.REFERENCE_CONFIG, s.fractal_scene())
 
+    @pytest.mark.slow
     def test_xla_fit_grads_finite(self):
         """CPU-runnable stand-in: XLA-path fit grads of the fractal scene
         are finite and nonzero at a small resolution."""
