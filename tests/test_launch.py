@@ -172,3 +172,31 @@ class TestTwoProcessFit:
         np.testing.assert_allclose(
             np.asarray(results[0]["losses"]), np.asarray(ref.losses), rtol=1e-5
         )
+
+        # --- Resume with an ASYMMETRIC checkpoint view (the real multi-host
+        # hazard): only process 0 ever wrote a checkpoint, so on re-run
+        # process 1 finds nothing locally.  fit_scene must broadcast process
+        # 0's restored state so both resume at the same step — without it,
+        # the processes issue different numbers of collectives and hang.
+        first_radius = results[0]["radius"]
+        port2 = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(port2), str(i), str(tmp_path)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+            for i in (0, 1)
+        ]
+        outs = [p.communicate(timeout=420)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, f"resume worker failed:\n{out[-3000:]}"
+        resumed = []
+        for i in (0, 1):
+            with open(tmp_path / f"out_p{i}.json") as f:
+                resumed.append(json.load(f))
+        # Fully-trained checkpoint: both processes resume at step 4 and run 0
+        # new steps — including process 1, whose local dir is empty.
+        assert resumed[0]["steps_run"] == 0
+        assert resumed[1]["steps_run"] == 0
+        assert resumed[0]["radius"] == pytest.approx(first_radius, rel=1e-6)
+        assert resumed[1]["radius"] == pytest.approx(first_radius, rel=1e-6)
