@@ -110,9 +110,28 @@ def cmd_render(args) -> int:
             # orbit radius).
             # Distance about the default orbit target (camera.Camera.orbit's
             # (0, 0.2, 0)) — exact for file cameras that came from orbit().
-            file_radius = float(
-                np.linalg.norm(np.asarray(cam.position) - np.array([0.0, 0.2, 0.0]))
-            )
+            orbit_target = np.array([0.0, 0.2, 0.0])
+            to_target = orbit_target - np.asarray(cam.position)
+            file_radius = float(np.linalg.norm(to_target))
+            if args.radius is None:
+                # Surface the heuristic: a file camera not produced by
+                # Camera.orbit (or aimed elsewhere) makes the inferred
+                # distance wrong — warn instead of silently teleporting.
+                forward = -np.asarray(cam.c2w)[:, 2]
+                aligned = float(
+                    np.dot(forward, to_target) / max(file_radius, 1e-9)
+                )
+                if aligned < 0.999:
+                    import warnings
+
+                    warnings.warn(
+                        "--azimuth/--elevation without --radius: camera "
+                        "distance inferred from the default orbit target "
+                        f"(0, 0.2, 0), but the file camera does not look at "
+                        f"it (alignment {aligned:.3f}); pass --radius to "
+                        "place the camera exactly",
+                        stacklevel=1,
+                    )
             cam = s.Camera.orbit(
                 azimuth_deg=args.azimuth or 0.0,
                 elevation_deg=args.elevation or 0.0,

@@ -262,6 +262,33 @@ def fit_scene(
         cov = coverage(render_config.march, scene_, o_, d_, fit_config.silhouette_beta)
         return sil_w * jnp.sum((cov - cov_t) ** 2)
 
+    if mesh is not None and fit_config.loss == "multiscale":
+        # The pyramid pools *within* each device's rows (both engines pool
+        # per slab under shard_map).  Its blocks coincide with the unsharded
+        # objective's only when every device row-run starts and ends on a
+        # 2**levels boundary — otherwise the sharded fit silently optimizes
+        # a different (misaligned-block) loss than the same config without
+        # mesh.  Engine-independent gate (round-4 advisory: the xla engine
+        # slipped through the pallas-branch-only check).
+        n_ms = mesh.shape[tile_axis]
+        if render_config.height % n_ms != 0:
+            raise ValueError(
+                f"height {render_config.height} not divisible by mesh size {n_ms}"
+            )
+        ms_interleaved = fit_config.shard_interleaved and fit_config.engine == "pallas"
+        run = _make_pc().tile_h if ms_interleaved else render_config.height // n_ms
+        lv = 1 << fit_config.pyramid_levels
+        if run % lv != 0:
+            what = (
+                "tile_h" if ms_interleaved else "slab height (height/n_devices)"
+            )
+            raise ValueError(
+                f"multiscale loss under row sharding needs the {what} "
+                f"({run}) divisible by 2**pyramid_levels ({lv}) so pooled "
+                "blocks align with the unsharded objective; adjust "
+                "height/pyramid_levels/tile or fit unsharded"
+            )
+
     if fit_config.engine == "pallas":
         from sdf3d_tpu.ops import render_pallas
 
@@ -312,22 +339,6 @@ def fit_scene(
                     "interleaved sharding needs height divisible by "
                     f"n_devices*tile_h ({render_config.height} % {n * th} != 0)"
                 )
-            if fit_config.loss == "multiscale":
-                # The pyramid pools *within* each device's rows.  Its blocks
-                # coincide with the unsharded objective's only when every
-                # device row-run starts and ends on a 2**levels boundary —
-                # otherwise the sharded fit silently optimizes a different
-                # (misaligned-block) loss than the same config without mesh.
-                lv = 1 << fit_config.pyramid_levels
-                run = th if interleaved else slab
-                if run % lv != 0:
-                    what = "tile_h" if interleaved else "slab height (height/n_devices)"
-                    raise ValueError(
-                        f"multiscale loss under row sharding needs the {what} "
-                        f"({run}) divisible by 2**pyramid_levels ({lv}) so pooled "
-                        "blocks align with the unsharded objective; adjust "
-                        "height/pyramid_levels/tile or use the xla engine unsharded"
-                    )
             slab_cfg = dataclasses.replace(
                 render_config, height=slab, ndc_height=render_config.height
             )
@@ -476,12 +487,21 @@ def fit_scene(
             )
             start_step = int(start_step)
             # Loss history lengths can differ across processes (that is the
-            # failure being repaired), so broadcast into a step-sized buffer.
+            # failure being repaired), so broadcast into a step-sized buffer
+            # plus the true entry count: with log_every > 1 the logged
+            # history is shorter than start_step, and keeping the zero
+            # padding would corrupt FitResult.losses (and the losses meta of
+            # subsequent checkpoints) on every multihost resume.
             buf = jnp.zeros((start_step,), jnp.float32)
+            n_vals = 0
             if losses:
                 vals = jnp.asarray(losses[:start_step], jnp.float32)
                 buf = buf.at[: vals.shape[0]].set(vals)
-            losses = [float(x) for x in multihost_utils.broadcast_one_to_all(buf)]
+                n_vals = int(vals.shape[0])
+            buf, n_vals = multihost_utils.broadcast_one_to_all(
+                (buf, jnp.int32(n_vals))
+            )
+            losses = [float(x) for x in buf[: int(n_vals)]]
 
     n_pixels = render_config.width * render_config.height
     t0 = time.perf_counter()

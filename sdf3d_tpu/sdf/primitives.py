@@ -251,7 +251,10 @@ def _mandelbulb_de(qx, qy, qz, iterations: int, bailout: float = 4.0):
     # field fast: the power-8 set lies within radius 2^(1/7) ~= 1.104
     # (R^7 > 2 escapes), so |q| - 1.2 is a true lower bound with slope 1,
     # and max() of two lower bounds is a lower bound.
-    d_bound = jnp.sqrt(qx * qx + qy * qy + qz * qz) - 1.2
+    # eps-clamped like m/k2 above: the raw sqrt's reverse-mode derivative is
+    # NaN when a sample coincides exactly with the bulb center, poisoning
+    # center-trainable fit steps.
+    d_bound = jnp.sqrt(jnp.maximum(qx * qx + qy * qy + qz * qz, eps)) - 1.2
     return jnp.maximum(0.5 * est, d_bound)
 
 

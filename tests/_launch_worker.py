@@ -52,7 +52,10 @@ def main() -> None:
     ckpt = os.path.join(outdir, f"ckpt_p{pid}")
     result = fit_scene(
         target_rows, scene0, cam, light, mat, cfg,
-        FitConfig(steps=4, learning_rate=1e-2, log_every=1,
+        # log_every=2: the logged loss history is SHORTER than the step
+        # count, so the resume broadcast must carry the true entry count
+        # (round-4 advisory: zero-padding corrupted resumed histories).
+        FitConfig(steps=4, learning_rate=1e-2, log_every=2,
                   checkpoint_every=2, checkpoint_dir=ckpt),
         mesh=mesh,
     )

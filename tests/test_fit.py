@@ -523,6 +523,14 @@ class TestFitEngines:
                           pallas_tile=(8, 64), loss="multiscale"),
                 mesh=mesh,
             )
+        # The gate is engine-independent (round-4 advisory: the xla engine
+        # pools its pyramid per slab under shard_map too).
+        with pytest.raises(ValueError, match="multiscale loss under row sharding"):
+            fit_scene(
+                target, s.reference_scene(), cam, light, mat, cfg,
+                FitConfig(steps=1, engine="xla", loss="multiscale"),
+                mesh=mesh,
+            )
         # Aligned (slab 8 % 8 == 0) runs.
         cfg = dataclasses.replace(cfg, height=64)
         target = jnp.zeros((64, 64, 3), jnp.float32)

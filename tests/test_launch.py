@@ -166,7 +166,7 @@ class TestTwoProcessFit:
         )
         ref = fit_scene(
             target, scene0, CAM, s.reference_light(), s.reference_material(), CFG,
-            FitConfig(steps=4, learning_rate=1e-2, log_every=1),
+            FitConfig(steps=4, learning_rate=1e-2, log_every=2),
             mesh=mesh,
         )
         np.testing.assert_allclose(
@@ -200,3 +200,8 @@ class TestTwoProcessFit:
         assert resumed[1]["steps_run"] == 0
         assert resumed[0]["radius"] == pytest.approx(first_radius, rel=1e-6)
         assert resumed[1]["radius"] == pytest.approx(first_radius, rel=1e-6)
+        # Resumed loss history is the logged-cadence history, NOT inflated to
+        # step-count length with zeros (log_every=2 → 4 steps log 3 entries).
+        for r in resumed:
+            assert len(r["losses"]) == len(results[0]["losses"])
+            assert r["losses"] == pytest.approx(results[0]["losses"], rel=1e-6)
