@@ -26,10 +26,14 @@ side-effecting DMA ops), and tests assert the overlap property *of the
 schedule* (``test_parallel.py``).  Real-ICI semaphore timing and >1-chip
 behavior are unvalidated on this 1-chip environment.
 
-Caveats for multi-collective programs: the latency ring uses
-``collective_id=0`` and the bandwidth ring ``collective_id=1`` — two
-launches of the *same* kernel in one compiled program would collide on the
-barrier semaphore and need distinct ids threaded through.
+Multi-collective programs: every entry point takes a ``collective_id``.
+The defaults (latency ring 0, bandwidth ring 1) are fine for one reduction
+per compiled program; a step body that reduces **twice with the same
+kernel** must pass distinct ids or the two launches collide on the barrier
+semaphore (deadlock/corruption, not an error).  ``pallas_psum``/
+``pallas_psum_tree`` thread the id through to ``CompilerParams``
+(tested: two ring reductions in one jitted program,
+``test_parallel.py::test_two_ring_reductions_one_program``).
 
 Drop-in for ``lax.psum`` inside ``shard_map`` bodies via :func:`pallas_psum`
 (pads/reshapes arbitrary vectors to lane-aligned planes around the kernel);
@@ -139,8 +143,10 @@ def _ring_allreduce_kernel(
             out_ref[rows] += buf[dst_slot]
 
 
-@functools.partial(jax.jit, static_argnames=("axis", "num", "interpret"))
-def _ring_allreduce_padded(x, axis: str, num: int, interpret: bool):
+@functools.partial(
+    jax.jit, static_argnames=("axis", "num", "interpret", "collective_id")
+)
+def _ring_allreduce_padded(x, axis: str, num: int, interpret: bool, collective_id: int = 0):
     """All-reduce an (R, 128k) lane-aligned plane across the mesh axis."""
     kernel = functools.partial(_ring_allreduce_kernel, axis=axis, num=num)
     return pl.pallas_call(
@@ -156,7 +162,9 @@ def _ring_allreduce_padded(x, axis: str, num: int, interpret: bool):
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(collective_id=0, has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            collective_id=collective_id, has_side_effects=True
+        ),
         interpret=interpret,
     )(x)
 
@@ -166,7 +174,7 @@ def _ring_allreduce_padded(x, axis: str, num: int, interpret: bool):
 # ---------------------------------------------------------------------------
 
 
-def rs_ag_schedule(num: int) -> list:
+def rs_ag_schedule(num: int, backpressure: bool = False) -> list:
     """The two-stream reduce-scatter + all-gather op sequence, as data.
 
     Returns ``[(op, stream, k), ...]`` with ``k`` the *global* step,
@@ -177,6 +185,17 @@ def rs_ag_schedule(num: int) -> list:
     the same schedule-level overlap property holds: every accum/copy except
     the last runs while the other stream's RDMA is outstanding
     (``test_parallel.py::test_rs_ag_schedule_overlaps_comm_and_compute``).
+
+    ``backpressure=True`` adds the consumption-ack ops the hardware kernel
+    emits: ``bp_signal`` after each accum/copy tells the *left* neighbor the
+    just-consumed slot may be rewritten; ``bp_wait`` before the start that
+    reuses a slot (step ``k`` reuses step ``k−2``'s slot) blocks until the
+    *right* neighbor's ack arrives.  Ordering properties — the signal for
+    step ``k`` precedes the wait for step ``k+2`` (lockstep-deadlock-free)
+    and every slot-reusing start is ack-guarded (sender never ≥2 slots
+    ahead of consumption) — are asserted as schedule properties in
+    ``test_parallel.py::test_rs_ag_backpressure_schedule_is_safe``, the
+    same schedule-as-data treatment the overlap proof gets.
     """
     total = 2 * (num - 1)
     ops = [("start", "A", 0), ("start", "B", 0)]
@@ -184,7 +203,11 @@ def rs_ag_schedule(num: int) -> list:
         for stream in ("A", "B"):
             ops.append(("wait", stream, k))
             ops.append(("accum" if k < num - 1 else "copy", stream, k))
+            if backpressure and k + 2 < total:
+                ops.append(("bp_signal", stream, k))
             if k + 1 < total:
+                if backpressure and k + 1 >= 2:
+                    ops.append(("bp_wait", stream, k + 1))
                 ops.append(("start", stream, k + 1))
     return ops
 
@@ -222,7 +245,6 @@ def _rs_ag_kernel(
     left = lax.rem(d + num - 1, num)
     cols = x_ref.shape[1]
     half = cols // 2
-    total = 2 * (num - 1)
 
     out_ref[...] = x_ref[...]
 
@@ -244,13 +266,16 @@ def _rs_ag_kernel(
         "B": (comm_b, send_b, recv_b, free_b, slice(half, None)),
     }
     handles = {}
-    for op, stream, k in rs_ag_schedule(num):
+    # The kernel walks the (possibly back-pressure-annotated) schedule
+    # verbatim — bp_wait/bp_signal placement is schedule data, asserted by
+    # test_rs_ag_backpressure_schedule_is_safe, not ad-hoc emission logic.
+    for op, stream, k in rs_ag_schedule(num, backpressure=backpressure):
         comm, s_sem, r_sem, f_sem, csl = streams[stream]
         slot = k % 2
-        if op == "start":
-            if backpressure and k >= 2:
-                # Right neighbor consumed its copy of this slot at step k−2.
-                pltpu.semaphore_wait(f_sem.at[slot], 1)
+        if op == "bp_wait":
+            # Right neighbor consumed its copy of this slot at step k−2.
+            pltpu.semaphore_wait(f_sem.at[slot], 1)
+        elif op == "start":
             h = pltpu.make_async_remote_copy(
                 src_ref=out_ref.at[chunk_rows(send_chunk(k)), csl],
                 dst_ref=comm.at[slot],
@@ -263,24 +288,28 @@ def _rs_ag_kernel(
             handles[stream] = h
         elif op == "wait":
             handles[stream].wait()
+        elif op == "bp_signal":
+            # Tell the sender (left neighbor) this slot may be rewritten.
+            pltpu.semaphore_signal(
+                f_sem.at[slot], inc=1, device_id=left,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
         else:  # accum / copy
             c = recv_chunk(k)
             if op == "accum":
                 out_ref[chunk_rows(c), csl] += comm[slot]
             else:
                 out_ref[chunk_rows(c), csl] = comm[slot]
-            if backpressure and k + 2 < total:
-                # Tell the sender (left neighbor) this slot may be rewritten.
-                pltpu.semaphore_signal(
-                    f_sem.at[slot], inc=1, device_id=left,
-                    device_id_type=pltpu.DeviceIdType.LOGICAL,
-                )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("axis", "num", "interpret", "backpressure")
+    jax.jit,
+    static_argnames=("axis", "num", "interpret", "backpressure", "collective_id"),
 )
-def _rs_ag_padded(x, axis: str, num: int, interpret: bool, backpressure: bool):
+def _rs_ag_padded(
+    x, axis: str, num: int, interpret: bool, backpressure: bool,
+    collective_id: int = 1,
+):
     """All-reduce a (num·8, 256k) plane with the RS+AG ring."""
     kernel = functools.partial(
         _rs_ag_kernel, axis=axis, num=num, backpressure=backpressure
@@ -301,7 +330,9 @@ def _rs_ag_padded(x, axis: str, num: int, interpret: bool, backpressure: bool):
             pltpu.SemaphoreType.REGULAR((2,)),
             pltpu.SemaphoreType.REGULAR((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(collective_id=1, has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            collective_id=collective_id, has_side_effects=True
+        ),
         interpret=interpret,
     )(x)
 
@@ -318,6 +349,7 @@ def pallas_psum(
     axis: str = tile_axis,
     interpret: bool = False,
     algorithm: str = "auto",
+    collective_id: int | None = None,
 ) -> jnp.ndarray:
     """Sum ``x`` across the mesh axis with a Pallas ring kernel.
 
@@ -328,6 +360,12 @@ def pallas_psum(
     ``"auto"`` — rs_ag once the payload reaches its minimum-sensible plane
     (``num·8·256`` floats, 64 KB at N=8), ring below.  ``interpret=True``
     runs the interpreter (CPU-mesh tests).
+
+    ``collective_id`` keys the kernel's barrier semaphore.  ``None`` uses
+    the per-kernel default (ring 0, rs_ag 1) — correct for one reduction
+    per compiled program.  A program that launches the SAME ring kernel
+    twice (e.g. two reductions in one step body) MUST pass distinct ids, or
+    the launches collide on the barrier semaphore.
     """
     if num_devices == 1:
         return x
@@ -336,11 +374,13 @@ def pallas_psum(
     if algorithm == "auto":
         algorithm = "rs_ag" if n >= _rs_ag_threshold(num_devices) else "ring"
     if algorithm == "ring":
+        cid = 0 if collective_id is None else int(collective_id)
         cols = max(_LANES, ((n + _SUBLANES * _LANES - 1) // (_SUBLANES * _LANES)) * _LANES)
         padded = jnp.zeros((_SUBLANES * cols,), jnp.float32).at[:n].set(flat)
         plane = padded.reshape(_SUBLANES, cols)
-        reduced = _ring_allreduce_padded(plane, axis, num_devices, interpret)
+        reduced = _ring_allreduce_padded(plane, axis, num_devices, interpret, cid)
     elif algorithm == "rs_ag":
+        cid = 1 if collective_id is None else int(collective_id)
         rows = num_devices * _SUBLANES
         unit = rows * 2 * _LANES  # keep the column count a multiple of 256
         cols = 2 * _LANES * ((n + unit - 1) // unit)
@@ -350,14 +390,15 @@ def pallas_psum(
         # interpreter does not implement ("Remote signal not implemented") —
         # interpret runs are single-host lockstep emulation anyway, so the
         # ack is correctness-neutral there.  Hardware runs keep it on.
-        reduced = _rs_ag_padded(plane, axis, num_devices, interpret, not interpret)
+        reduced = _rs_ag_padded(plane, axis, num_devices, interpret, not interpret, cid)
     else:
         raise ValueError(f"unknown algorithm {algorithm!r}")
     return jnp.reshape(jnp.ravel(reduced)[:n], jnp.shape(x)).astype(x.dtype)
 
 
 def pallas_psum_tree(tree, num_devices: int, axis: str = tile_axis,
-                     interpret: bool = False, algorithm: str = "auto"):
+                     interpret: bool = False, algorithm: str = "auto",
+                     collective_id: int | None = None):
     """All-reduce a whole pytree with **one** ring kernel launch.
 
     Leaves are raveled and concatenated into a single vector, reduced with
@@ -366,17 +407,22 @@ def pallas_psum_tree(tree, num_devices: int, axis: str = tile_axis,
     full ring latency ``n_leaves`` times for the same handful of floats).
     ``algorithm="auto"`` picks the bandwidth ring automatically once the
     concatenated gradient vector is large (neural-scene MLPs).
+    ``collective_id`` as in :func:`pallas_psum` — distinct ids are required
+    when one compiled program reduces more than one tree with the same
+    kernel.
     """
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     if not leaves:
         return tree
     if len(leaves) == 1:
         return jax.tree_util.tree_unflatten(
-            treedef, [pallas_psum(leaves[0], num_devices, axis, interpret, algorithm)]
+            treedef,
+            [pallas_psum(leaves[0], num_devices, axis, interpret, algorithm,
+                         collective_id)],
         )
     sizes = [int(jnp.size(l)) for l in leaves]
     flat = jnp.concatenate([jnp.ravel(l).astype(jnp.float32) for l in leaves])
-    reduced = pallas_psum(flat, num_devices, axis, interpret, algorithm)
+    reduced = pallas_psum(flat, num_devices, axis, interpret, algorithm, collective_id)
     out, off = [], 0
     for leaf, size in zip(leaves, sizes):
         out.append(

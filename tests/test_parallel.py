@@ -363,6 +363,62 @@ class TestPallasCollectives:
             want = jnp.sum(leaf, axis=0)
             np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
+    def test_two_ring_reductions_one_program(self, mesh8):
+        """Two launches of the SAME ring kernel in ONE compiled program used
+        to collide on the hardcoded barrier-semaphore id (collectives.py
+        round-4 caveat).  Distinct ``collective_id``s are now threaded
+        through pallas_psum/pallas_psum_tree; the combined program must
+        reproduce ``lax.psum`` twice."""
+        import functools
+
+        from jax.sharding import PartitionSpec as PS
+
+        from sdf3d_tpu.parallel.collectives import pallas_psum, pallas_psum_tree
+        from sdf3d_tpu.parallel.mesh import tile_axis
+
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.standard_normal((8, 37)), jnp.float32)
+        y = jnp.asarray(rng.standard_normal((8, 256)), jnp.float32)
+
+        @jax.jit
+        @functools.partial(
+            jax.shard_map, mesh=mesh8, in_specs=(PS(tile_axis, None),) * 2,
+            out_specs=(PS(tile_axis, None),) * 2, check_vma=False,
+        )
+        def f(xl, yl):
+            a = pallas_psum(xl[0], 8, interpret=True, collective_id=2)
+            b = pallas_psum(yl[0], 8, interpret=True, collective_id=3)
+            # Feed a through b's reduction result so XLA cannot reorder the
+            # two launches apart (data dependence mirrors a two-term step).
+            return (a + 0.0 * b[:37])[None], b[None]
+
+        a, b = f(x, y)
+        np.testing.assert_allclose(
+            np.asarray(a[0]), np.asarray(jnp.sum(x, 0)), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(b[0]), np.asarray(jnp.sum(y, 0)), rtol=1e-5, atol=1e-5
+        )
+
+        # Tree form: two tree reductions in one program, distinct ids.
+        @jax.jit
+        @functools.partial(
+            jax.shard_map, mesh=mesh8, in_specs=(PS(tile_axis, None),) * 2,
+            out_specs=(PS(tile_axis, None),) * 2, check_vma=False,
+        )
+        def g(xl, yl):
+            t1 = pallas_psum_tree({"x": xl[0]}, 8, interpret=True, collective_id=4)
+            t2 = pallas_psum_tree({"y": yl[0]}, 8, interpret=True, collective_id=5)
+            return t1["x"][None], t2["y"][None]
+
+        a, b = g(x, y)
+        np.testing.assert_allclose(
+            np.asarray(a[0]), np.asarray(jnp.sum(x, 0)), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(b[0]), np.asarray(jnp.sum(y, 0)), rtol=1e-5, atol=1e-5
+        )
+
     @pytest.mark.slow
     def test_loss_and_grad_with_ring_allreduce(self, mesh8):
         o, d = camera_rays(CAM, CFG.width, CFG.height)
@@ -465,6 +521,61 @@ class TestRsAgCollective:
         assert consumed == 2 * 2 * (num - 1)
         assert overlapped == consumed - 1
         assert outstanding == {"A": 0, "B": 0}
+
+    @pytest.mark.parametrize("num", [2, 4, 8])
+    def test_rs_ag_backpressure_schedule_is_safe(self, num):
+        """The back-pressure ack placement, proven at the schedule level (the
+        kernel emits its ops verbatim from ``rs_ag_schedule(backpressure=
+        True)``) — the same treatment the overlap property gets, replacing
+        the round-4 'dead code in comments' state:
+
+        1. dropping the bp ops recovers the plain schedule exactly (acks
+           change ordering constraints, never the data flow);
+        2. every slot-reusing ``start`` (step k ≥ 2 reuses step k−2's slot)
+           is guarded by exactly one ``bp_wait`` after the previous
+           same-slot start — the sender is never ≥2 slots ahead of
+           consumption acks;
+        3. each ``bp_signal`` for step k comes after that step's
+           accum/copy (never signal before consume) and strictly before the
+           ``bp_wait`` of step k+2 — so the lockstep program order itself
+           proves the wait can always be satisfied (deadlock-free even with
+           arbitrary device skew, since signals only ever come earlier).
+        """
+        from sdf3d_tpu.parallel.collectives import rs_ag_schedule
+
+        plain = rs_ag_schedule(num)
+        bp = rs_ag_schedule(num, backpressure=True)
+        total = 2 * (num - 1)
+
+        # 1. Core op sequence unchanged.
+        assert [o for o in bp if o[0] not in ("bp_wait", "bp_signal")] == plain
+
+        pos = {(op, st, k): i for i, (op, st, k) in enumerate(bp)}
+        for stream in ("A", "B"):
+            starts = {k: i for i, (op, st, k) in enumerate(bp)
+                      if op == "start" and st == stream}
+            consumes = {k: i for i, (op, st, k) in enumerate(bp)
+                        if op in ("accum", "copy") and st == stream}
+            for k in range(total):
+                if k >= 2:
+                    # 2. Ack-guarded slot reuse: exactly one bp_wait between
+                    # the two same-slot starts, immediately guarding start k.
+                    w = pos[("bp_wait", stream, k)]
+                    assert starts[k - 2] < w < starts[k]
+                    n_between = sum(
+                        1 for i, (op, st, kk) in enumerate(bp)
+                        if op == "bp_wait" and st == stream
+                        and kk % 2 == k % 2 and starts[k - 2] < i < starts[k]
+                    )
+                    assert n_between == 1
+                    # 3b. The matching signal (step k−2) precedes the wait.
+                    assert pos[("bp_signal", stream, k - 2)] < w
+                if k + 2 < total:
+                    # 3a. Never signal before consuming.
+                    assert consumes[k] < pos[("bp_signal", stream, k)]
+            # No acks for steps whose slot is never reused (the final two).
+            assert ("bp_signal", stream, total - 1) not in pos
+            assert ("bp_signal", stream, total - 2) not in pos
 
     @pytest.mark.parametrize("num", [2, 4, 8])
     def test_wire_traffic_is_bandwidth_optimal(self, num):
