@@ -110,6 +110,18 @@ class FitConfig:
     #: sees a representative sky/ground/object ray mix (load balance; see
     #: parallel/shard_render.py).  Targets/rays are permuted host-side once.
     shard_interleaved: bool = False
+    #: Sharded-image layout: "auto" (pick per mesh size — the 2-D tile
+    #: queue once row layouts fall under the scaling bar, n ≥ 16), or force
+    #: "contiguous" / "interleaved" row layouts or the "tiles" work queue
+    #: (parallel/tile_queue.py).  "tiles" needs the fused kernel (fused_l2_
+    #: eligible), a single host, and height/width divisible by the tile.
+    #: The legacy ``shard_interleaved`` flag still selects "interleaved"
+    #: under "auto".
+    shard_layout: str = "auto"
+    #: Tile-queue assignment policy: "round_robin" (scene-independent) or
+    #: "balanced" (greedy LPT on a 1/8-resolution march pre-pass of the
+    #: *initial* scene — the measured-work static schedule).
+    shard_policy: str = "round_robin"
     #: Gradient all-reduce for sharded fits: "psum" (XLA collective; default)
     #: or "pallas_ring" / "pallas_ring_interpret" (the overlapped ring kernel,
     #: one launch per step over the flattened gradient vector).
@@ -204,6 +216,44 @@ def fit_scene(
             "mask can be inferred from non-background pixels"
         )
 
+    def _resolve_layout():
+        """Sharded-image layout for the pallas engine (None otherwise)."""
+        if mesh is None or fit_config.engine != "pallas":
+            return None
+        layout = fit_config.shard_layout
+        if layout not in ("auto", "contiguous", "interleaved", "tiles"):
+            raise ValueError(f"unknown shard_layout {fit_config.shard_layout!r}")
+        if layout == "tiles" and multihost:
+            raise ValueError(
+                "shard_layout='tiles' is single-host (per-device tile stacks "
+                "are gathered from the full target); use a row layout across "
+                "hosts"
+            )
+        if layout != "auto":
+            return layout
+        if fit_config.shard_interleaved:
+            return "interleaved"
+        pc = _make_pc()
+        from sdf3d_tpu.ops.fit_kernel import fused_l2_eligible as _elig
+
+        n = mesh.shape[tile_axis]
+        # Row layouts project under the ≥90% scaling bar from n=16 up
+        # (SCALING.jsonl); the 2-D tile queue stays ≥0.94 — switch when its
+        # requirements (fused kernel, single host, tile-divisible image)
+        # hold.
+        if (
+            n >= 16
+            and not multihost
+            and render_config.height % pc.tile_h == 0
+            and render_config.width % pc.tile_w == 0
+            and _elig(render_config, scene0, loss=fit_config.loss,
+                      levels=fit_config.pyramid_levels, sil_w=sil_w, pc=pc)
+        ):
+            return "tiles"
+        return "contiguous"
+
+    shard_layout = _resolve_layout()
+
     if multihost:
         import numpy as np
 
@@ -232,7 +282,7 @@ def fit_scene(
 
         origins, directions, target = launch.fit_arrays(
             mesh, camera, render_config, None, target_fn=_target_rows,
-            interleaved=(fit_config.shard_interleaved and fit_config.engine == "pallas"),
+            interleaved=(shard_layout == "interleaved"),
             tile_h=_make_pc().tile_h if fit_config.engine == "pallas" else 0,
         )
     else:
@@ -264,23 +314,26 @@ def fit_scene(
 
     if mesh is not None and fit_config.loss == "multiscale":
         # The pyramid pools *within* each device's rows (both engines pool
-        # per slab under shard_map).  Its blocks coincide with the unsharded
-        # objective's only when every device row-run starts and ends on a
-        # 2**levels boundary — otherwise the sharded fit silently optimizes
-        # a different (misaligned-block) loss than the same config without
-        # mesh.  Engine-independent gate (round-4 advisory: the xla engine
-        # slipped through the pallas-branch-only check).
+        # per slab/tile under shard_map).  Its blocks coincide with the
+        # unsharded objective's only when every device row-run starts and
+        # ends on a 2**levels boundary — otherwise the sharded fit silently
+        # optimizes a different (misaligned-block) loss than the same config
+        # without mesh.  Engine-independent gate (round-4 advisory: the xla
+        # engine slipped through the pallas-branch-only check).
         n_ms = mesh.shape[tile_axis]
-        if render_config.height % n_ms != 0:
+        if shard_layout != "tiles" and render_config.height % n_ms != 0:
             raise ValueError(
                 f"height {render_config.height} not divisible by mesh size {n_ms}"
             )
-        ms_interleaved = fit_config.shard_interleaved and fit_config.engine == "pallas"
-        run = _make_pc().tile_h if ms_interleaved else render_config.height // n_ms
+        if shard_layout in ("interleaved", "tiles"):
+            run = _make_pc().tile_h
+        else:
+            run = render_config.height // n_ms
         lv = 1 << fit_config.pyramid_levels
         if run % lv != 0:
             what = (
-                "tile_h" if ms_interleaved else "slab height (height/n_devices)"
+                "tile_h" if shard_layout in ("interleaved", "tiles")
+                else "slab height (height/n_devices)"
             )
             raise ValueError(
                 f"multiscale loss under row sharding needs the {what} "
@@ -315,7 +368,63 @@ def fit_scene(
                 sil_beta=fit_config.silhouette_beta, target_coverage=cov_t,
             )
 
-        if mesh is not None:
+        if mesh is not None and shard_layout == "tiles":
+            # Load-balanced 2-D tile-queue sharding (parallel/tile_queue.py):
+            # each device runs the fused tile-queue fit kernel on its static
+            # equal-count tile work-list; grads all-reduced once per step.
+            # The origin tables and target tile stacks ride the run_chunk
+            # origins/directions/target slots (the fused kernel re-derives
+            # rays in-kernel, so ray bundles are never materialized).
+            if not use_fused_loss:
+                raise ValueError(
+                    "shard_layout='tiles' needs the fused fit kernel "
+                    "(fused_l2_eligible); use a row layout for this config"
+                )
+            from sdf3d_tpu.ops.fit_kernel import l2_loss_and_grads_tiles
+            from sdf3d_tpu.parallel.tile_queue import (
+                estimate_tile_work,
+                fused_tiles_loss_and_grad_sharded,
+                gather_target_tiles,
+                plan_tiles,
+                pool_work_to_tiles,
+            )
+
+            n = mesh.shape[tile_axis]
+            work = None
+            if fit_config.shard_policy == "balanced":
+                steps = estimate_tile_work(scene0, camera, render_config, light)
+                work = pool_work_to_tiles(
+                    steps, render_config.height, render_config.width,
+                    pc.tile_h, pc.tile_w,
+                )
+            plan = plan_tiles(
+                render_config.height, render_config.width, pc.tile_h,
+                pc.tile_w, n, fit_config.shard_policy, work,
+            )
+            tgt_planar = jnp.transpose(target, (2, 0, 1))  # (C, H, W), C=3(+cov)
+            stacks = gather_target_tiles(tgt_planar, plan)  # (n, C, T·TH, TW)
+
+            def tiles_vag(scene_, trow_, tcol_, tgt_stack):
+                rgb_t = tgt_stack[:3]
+                cov_t = tgt_stack[3] if sil_w > 0.0 else None
+                loss, grads = l2_loss_and_grads_tiles(
+                    render_config, pc, scene_, camera, light, mat,
+                    rgb_t, trow_, tcol_, wrt_uniforms=False,
+                    loss_kind=fit_config.loss, levels=fit_config.pyramid_levels,
+                    sil_w=float(sil_w), sil_beta=fit_config.silhouette_beta,
+                    coverage_tiles=cov_t,
+                )
+                return loss, grads[0]
+
+            value_and_grad = fused_tiles_loss_and_grad_sharded(
+                tiles_vag, mesh, allreduce=fit_config.allreduce
+            )
+            # Origin tables replace the ray bundles as the chunk's sharded
+            # per-device inputs; the stacks replace the row-sharded target.
+            origins = jnp.asarray(plan.rows)
+            directions = jnp.asarray(plan.cols)
+            target = stacks
+        elif mesh is not None:
             # Sharded fused-engine fit (BASELINE config 5): each device runs
             # the fused forward + fused backward kernel on its row slab (the
             # row0/rowstride uniforms map slab tiles to absolute pixels),
@@ -333,7 +442,7 @@ def fit_scene(
                 )
             slab = render_config.height // n
             th = pc.tile_h
-            interleaved = fit_config.shard_interleaved
+            interleaved = shard_layout == "interleaved"
             if interleaved and slab % th != 0:
                 raise ValueError(
                     "interleaved sharding needs height divisible by "

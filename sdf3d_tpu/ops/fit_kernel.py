@@ -93,7 +93,7 @@ def _pool2(a):
 def _fit_tile_kernel(
     uni, prm, *refs, soa, soa_ray, mat_soa, n_params, cfg: RenderConfig,
     pc: PallasRenderConfig, wrt_uniforms: bool, loss_kind: str, levels: int,
-    sil_w: float, sil_beta, multiview: bool = False,
+    sil_w: float, sil_beta, multiview: bool = False, tile_queue: bool = False,
 ):
     """Kernel body: primal march/shadow/AO, then value_and_grad of the masked
     tile loss w.r.t. scalar params and uniforms; writes the
@@ -119,9 +119,8 @@ def _fit_tile_kernel(
     TH, TW = pc.tile_h, pc.tile_w
     f32 = jnp.float32
     sg = jax.lax.stop_gradient
-    off = 1 if multiview else 0
-    i = pl.program_id(off)
-    j = pl.program_id(off + 1)
+    if tile_queue:
+        trow, tcol, *refs = refs
     if sil_w > 0.0:
         tr, tg, tb, tc, out_ref = refs
     else:
@@ -144,17 +143,33 @@ def _fit_tile_kernel(
     else:
         uni = tuple(uni[k] for k in range(N_UNIFORMS))
 
-    rows, cols = _tile_pixel_planes(uni, TH, TW, axis_off=off)
-    # Padding mask in *local* (slab) coordinates: the grid covers the padded
-    # slab, and padded lanes must contribute exact zeros (their target is
-    # zero-padded; their absolute rows may even alias another slab's rows).
     riota = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)
     ciota = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1)
-    local_rows = i * TH + riota
-    local_cols = j * TW + ciota
-    mask = jnp.where(
-        (local_rows < cfg.height) & (local_cols < cfg.width), f32(1.0), f32(0.0)
-    )
+    if tile_queue:
+        # 1-D grid over an arbitrary tile work-list: tile q's absolute
+        # origin comes from the SMEM tables; the mask compares *absolute*
+        # pixels against the full image — dummy (padding) tiles are placed
+        # at row0 == height so every lane masks to exact zero.
+        q = pl.program_id(0)
+        rows = trow[q] + riota.astype(f32)
+        cols = tcol[q] + ciota.astype(f32)
+        mask = jnp.where(
+            (rows < f32(cfg.height)) & (cols < f32(cfg.width)), f32(1.0), f32(0.0)
+        )
+    else:
+        off = 1 if multiview else 0
+        i = pl.program_id(off)
+        j = pl.program_id(off + 1)
+        rows, cols = _tile_pixel_planes(uni, TH, TW, axis_off=off)
+        # Padding mask in *local* (slab) coordinates: the grid covers the
+        # padded slab, and padded lanes must contribute exact zeros (their
+        # target is zero-padded; their absolute rows may even alias another
+        # slab's rows).
+        local_rows = i * TH + riota
+        local_cols = j * TW + ciota
+        mask = jnp.where(
+            (local_rows < cfg.height) & (local_cols < cfg.width), f32(1.0), f32(0.0)
+        )
 
     # ---- primal pipeline (identical to the forward kernel's) ----
     primal = _tile_primal(
@@ -237,6 +252,8 @@ def _fit_tile_kernel(
         plane = plane + jnp.where(sel, d, 0.0)
     if multiview:
         out_ref[0, 0, 0, :, :] = plane
+    elif tile_queue:
+        out_ref[0, :, :] = plane
     else:
         out_ref[0, 0, :, :] = plane
 
@@ -356,6 +373,102 @@ def fit_step_kernel(
     return total[G], total[:P], total[P:G]
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "scene_treedef", "leaf_shapes", "cfg", "pc", "wrt_uniforms",
+    "loss_kind", "levels", "sil_w", "sil_beta",
+))
+def fit_step_kernel_tiles(
+    scene_treedef, leaf_shapes, params, uniforms, target_tiles, tile_rows,
+    tile_cols, cfg: RenderConfig, pc: PallasRenderConfig,
+    wrt_uniforms: bool = False, loss_kind: str = "l2", levels: int = 3,
+    sil_w: float = 0.0, sil_beta=None, coverage_tiles=None,
+):
+    """Tile-queue fused fit step: like :func:`fit_step_kernel` but over an
+    arbitrary tile work-list instead of a rectangular slab grid — the
+    per-device program of load-balanced 2-D tile sharding
+    (parallel/tile_queue.py).
+
+    ``tile_rows``/``tile_cols``: (T,) float32 absolute tile origins (exact
+    integers; dummy padding tiles use ``row0 == cfg.height`` so their lanes
+    mask to zero).  ``target_tiles``: planar (3, T·TH, TW) stack of target
+    blocks gathered in work-list order (zero blocks for dummies);
+    ``coverage_tiles`` the matching (T·TH, TW) mask stack when ``sil_w > 0``.
+    ``cfg`` is the FULL-image config (the in-kernel mask and NDC both use
+    the full height/width).  Returns ``(loss, g_params, g_uniforms)`` —
+    partial sums over this work-list only; sharded callers psum across
+    devices.  Gradient math is identical to :func:`fit_step_kernel` (same
+    kernel body, same loss options); the multiscale pyramid is supported
+    because tile origins are (TH, TW)-aligned, so in-tile pooled blocks
+    coincide with the unsharded objective's 2**levels blocks.
+    """
+    dummies = [jnp.zeros(shape, jnp.float32) for shape in leaf_shapes]
+    scene = jax.tree_util.tree_unflatten(scene_treedef, dummies)
+    soa = compile_scene(scene)
+    soa_ray = compile_scene_ray(scene) if pc.ray_sdf else None
+    from sdf3d_tpu.sdf.materials import scene_has_materials
+
+    mat_soa = compile_scene_material(scene) if scene_has_materials(scene) else None
+    TH, TW = pc.tile_h, pc.tile_w
+    T = int(tile_rows.shape[0])
+    P = int(params.shape[0])
+    G = P + N_UNIFORMS
+    if G + 1 > 8 * 128:
+        raise ValueError(
+            f"scene has {P} params; fused loss kernel supports up to {8 * 128 - N_UNIFORMS - 1}"
+        )
+    if loss_kind == "multiscale" and (TH % (1 << levels) or TW % (1 << levels)):
+        raise ValueError(
+            f"fused multiscale needs tile dims divisible by 2^levels "
+            f"({(TH, TW)} vs levels={levels})"
+        )
+    if sil_w > 0.0 and coverage_tiles is None:
+        raise ValueError("sil_w > 0 needs coverage_tiles")
+
+    planes_in = [target_tiles[0], target_tiles[1], target_tiles[2]]
+    if sil_w > 0.0:
+        planes_in.append(jnp.asarray(coverage_tiles, jnp.float32))
+
+    kernel = functools.partial(
+        _fit_tile_kernel, soa=soa, soa_ray=soa_ray, mat_soa=mat_soa,
+        n_params=P, cfg=cfg, pc=pc, wrt_uniforms=wrt_uniforms,
+        loss_kind=loss_kind, levels=levels, sil_w=float(sil_w),
+        sil_beta=sil_beta, tile_queue=True,
+    )
+    n_taps = cfg.march.max_steps + 6 + (cfg.shadow.max_steps if cfg.shadow.enabled else 0) + (
+        cfg.ao.samples if cfg.ao.enabled else 0
+    )
+    flops_per_eval = 40 * max(1, P // 4)
+    cost = pl.CostEstimate(
+        flops=3 * T * TH * TW * n_taps * flops_per_eval,
+        bytes_accessed=T * TH * TW * 4 * len(planes_in) + T * 8 * 128 * 4,
+        transcendentals=T * TH * TW * n_taps,
+    )
+    partials = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ] + [
+            pl.BlockSpec((TH, TW), lambda q: (q, 0), memory_space=pltpu.VMEM)
+            for _ in planes_in
+        ],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda q: (q, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, 8, 128), jnp.float32),
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=pc.vmem_limit_bytes,
+        ),
+        interpret=pc.interpret,
+    )(uniforms, params, tile_rows, tile_cols, *planes_in)
+
+    total = jnp.sum(partials, axis=0).reshape(-1)
+    return total[G], total[:P], total[P:G]
+
+
 def fused_l2_eligible(
     cfg: RenderConfig,
     scene,
@@ -440,6 +553,55 @@ def l2_loss_and_grads(
         treedef, leaf_shapes, params, uniforms, target_planar, cfg, pc,
         wrt_uniforms=wrt_uniforms, loss_kind=loss_kind, levels=levels,
         sil_w=float(sil_w), sil_beta=sil_beta, target_coverage=target_coverage,
+    )
+    (g_scene,) = p_vjp(g_params)
+    g_cam, g_light, g_mat = u_vjp(g_uni)
+    return loss, (g_scene, g_cam, g_light, g_mat)
+
+
+def l2_loss_and_grads_tiles(
+    cfg: RenderConfig,
+    pc: PallasRenderConfig,
+    scene,
+    camera,
+    light,
+    mat,
+    target_tiles,
+    tile_rows,
+    tile_cols,
+    wrt_uniforms: bool = False,
+    loss_kind: str = "l2",
+    levels: int = 3,
+    sil_w: float = 0.0,
+    sil_beta=None,
+    coverage_tiles=None,
+):
+    """Tile-queue counterpart of :func:`l2_loss_and_grads`: fused loss +
+    gradients over an arbitrary tile work-list (one device's share under
+    load-balanced 2-D tile sharding — parallel/tile_queue.py).
+
+    ``target_tiles`` is the planar (3, T·TH, TW) stack of target blocks in
+    work-list order (``tile_queue.gather_target_tiles``); ``tile_rows``/
+    ``tile_cols`` the (T,) absolute origin tables; ``cfg`` the FULL-image
+    config.  Returns partial ``(loss, (g_scene, g_cam, g_light, g_mat))``
+    for this work-list — callers psum across the mesh.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(scene)
+    leaf_shapes = tuple(jnp.shape(l) for l in leaves)
+    params, p_vjp = jax.vjp(scene_param_vector, scene)
+
+    def pack(cam_, light_, mat_):
+        u = pack_uniforms(cam_, light_, mat_, cfg.ray_mode)
+        return u.at[_U_K].set(jnp.asarray(cfg.shadow.k, jnp.float32))
+
+    uniforms, u_vjp = jax.vjp(pack, camera, light, mat)
+
+    loss, g_params, g_uni = fit_step_kernel_tiles(
+        treedef, leaf_shapes, params, uniforms,
+        jnp.asarray(target_tiles, jnp.float32),
+        jnp.asarray(tile_rows, jnp.float32), jnp.asarray(tile_cols, jnp.float32),
+        cfg, pc, wrt_uniforms=wrt_uniforms, loss_kind=loss_kind, levels=levels,
+        sil_w=float(sil_w), sil_beta=sil_beta, coverage_tiles=coverage_tiles,
     )
     (g_scene,) = p_vjp(g_params)
     g_cam, g_light, g_mat = u_vjp(g_uni)

@@ -505,25 +505,13 @@ def _tile_primal(uni, getp, sdf, soa_ray, rows, cols, cfg, pc, track_min: bool =
     return ((ox, oy, oz), (dx, dy, dz), t, (nx, ny, nz), (ix, iy, iz), shadow, ao) + min_planes
 
 
-def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, soa_ray, mat_soa, n_params, cfg: RenderConfig, pc: PallasRenderConfig):
-    """Kernel body. ``soa(px,py,pz,getp)`` is the compiled scene program."""
-    TH, TW = pc.tile_h, pc.tile_w
+def _forward_tile_tail(uni, getp, sdf, soa_ray, mat_soa, rows, cols, cfg, pc):
+    """The forward pipeline for one tile given its absolute pixel planes:
+    rays → march → normals → shadow → AO → shade.  Shared by the grid
+    kernel (affine row mapping) and the tile-queue kernel (per-tile origin
+    tables).  Returns ``(r, g, b, t, shadow, ao)`` planes."""
     f32 = jnp.float32
     mc = cfg.march
-
-    # Hoist every SMEM parameter read to the kernel preamble: the scene
-    # program evaluates ``getp`` inside the march loops (100s of times), and
-    # loop-invariant SMEM loads are cheaper guaranteed-hoisted here than
-    # left to the compiler.
-    prm_vals = [prm[k] for k in range(n_params)]
-
-    def getp(k):
-        return prm_vals[k]
-
-    def sdf(px, py, pz):
-        return soa(px, py, pz, getp)
-
-    rows, cols = _tile_pixel_planes(uni, TH, TW)
     (ox, oy, oz), (dx, dy, dz), t, (nx, ny, nz), (ix, iy, iz), shadow, ao = _tile_primal(
         uni, getp, sdf, soa_ray, rows, cols, cfg, pc
     )
@@ -572,7 +560,62 @@ def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, soa_ra
         r = jnp.where(miss, f32(bg[0]), r)
         g = jnp.where(miss, f32(bg[1]), g)
         b = jnp.where(miss, f32(bg[2]), b)
+    return r, g, b, t, shadow, ao
 
+
+def _hoist_params(prm, n_params):
+    prm_vals = [prm[k] for k in range(n_params)]
+
+    def getp(k):
+        return prm_vals[k]
+
+    return getp
+
+
+def _render_tile_kernel(uni, prm, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, soa_ray, mat_soa, n_params, cfg: RenderConfig, pc: PallasRenderConfig):
+    """Kernel body. ``soa(px,py,pz,getp)`` is the compiled scene program."""
+    TH, TW = pc.tile_h, pc.tile_w
+
+    # Hoist every SMEM parameter read to the kernel preamble: the scene
+    # program evaluates ``getp`` inside the march loops (100s of times), and
+    # loop-invariant SMEM loads are cheaper guaranteed-hoisted here than
+    # left to the compiler.
+    getp = _hoist_params(prm, n_params)
+
+    def sdf(px, py, pz):
+        return soa(px, py, pz, getp)
+
+    rows, cols = _tile_pixel_planes(uni, TH, TW)
+    r, g, b, t, shadow, ao = _forward_tile_tail(
+        uni, getp, sdf, soa_ray, mat_soa, rows, cols, cfg, pc
+    )
+    rgb_ref[0, :, :] = r
+    rgb_ref[1, :, :] = g
+    rgb_ref[2, :, :] = b
+    t_ref[:, :] = t
+    sh_ref[:, :] = shadow
+    ao_ref[:, :] = ao
+
+
+def _render_tile_queue_kernel(uni, prm, trow, tcol, rgb_ref, t_ref, sh_ref, ao_ref, *, soa, soa_ray, mat_soa, n_params, cfg: RenderConfig, pc: PallasRenderConfig):
+    """Tile-queue kernel body: 1-D grid over an arbitrary tile work-list;
+    tile ``q``'s absolute image origin comes from the SMEM tables
+    ``(trow[q], tcol[q])`` instead of an affine row mapping — the mechanism
+    behind load-balanced 2-D tile sharding (parallel/tile_queue.py)."""
+    TH, TW = pc.tile_h, pc.tile_w
+    f32 = jnp.float32
+    getp = _hoist_params(prm, n_params)
+
+    def sdf(px, py, pz):
+        return soa(px, py, pz, getp)
+
+    q = pl.program_id(0)
+    uni = tuple(uni[k] for k in range(N_UNIFORMS))
+    rows = trow[q] + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0).astype(f32)
+    cols = tcol[q] + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1).astype(f32)
+    r, g, b, t, shadow, ao = _forward_tile_tail(
+        uni, getp, sdf, soa_ray, mat_soa, rows, cols, cfg, pc
+    )
     rgb_ref[0, :, :] = r
     rgb_ref[1, :, :] = g
     rgb_ref[2, :, :] = b
@@ -663,6 +706,74 @@ def _render_kernel_call(scene_treedef, leaf_shapes, params, uniforms, cfg: Rende
     # in render_kernel_forward (keeping the VJP boundary planar, see
     # ops/render_pallas.py::render_pallas_planar).
     return rgb[:, :H, :W], t[:H, :W], sh[:H, :W], ao[:H, :W]
+
+
+@functools.partial(jax.jit, static_argnames=("scene_treedef", "leaf_shapes", "cfg", "pc"))
+def _render_kernel_tiles_call(scene_treedef, leaf_shapes, params, uniforms, tile_rows, tile_cols, cfg: RenderConfig, pc: PallasRenderConfig):
+    """Tile-queue forward: render the ``T`` tiles whose absolute (row0, col0)
+    origins are given by the runtime SMEM tables ``tile_rows``/``tile_cols``
+    (each ``(T,)`` float32 holding exact integer pixel offsets).
+
+    Returns the planar tile stack ``(3, T·TH, TW)`` plus t/shadow/ao stacks
+    ``(T·TH, TW)`` — tile ``q`` occupies rows ``[q·TH, (q+1)·TH)``.  The
+    caller owns placement and reassembly (parallel/tile_queue.py); origin
+    tables are runtime inputs, so re-planning the work-list (e.g. the
+    work-balanced policy after a scene change) never recompiles.  NDC comes
+    from ``cfg.ndc_height/ndc_width`` (or height/width), so tiles map to
+    exactly the same rays as the affine-grid kernel — bitwise-identical
+    pixels (same f32 arithmetic on the same absolute row/col planes).
+    """
+    dummies = [jnp.zeros(shape, jnp.float32) for shape in leaf_shapes]
+    scene = jax.tree_util.tree_unflatten(scene_treedef, dummies)
+    soa = compile_scene(scene)
+    soa_ray = compile_scene_ray(scene) if pc.ray_sdf else None
+    from sdf3d_tpu.sdf.materials import scene_has_materials
+
+    mat_soa = compile_scene_material(scene) if scene_has_materials(scene) else None
+    TH, TW = pc.tile_h, pc.tile_w
+    T = int(tile_rows.shape[0])
+
+    kernel = functools.partial(
+        _render_tile_queue_kernel, soa=soa, soa_ray=soa_ray, mat_soa=mat_soa,
+        n_params=int(params.shape[0]), cfg=cfg, pc=pc,
+    )
+    n_taps = cfg.march.max_steps + 6 + (cfg.shadow.max_steps if cfg.shadow.enabled else 0) + (
+        cfg.ao.samples if cfg.ao.enabled else 0
+    )
+    flops_per_eval = 40 * max(1, params.shape[0] // 4)
+    cost = pl.CostEstimate(
+        flops=T * TH * TW * n_taps * flops_per_eval,
+        bytes_accessed=T * TH * TW * 4 * 6,
+        transcendentals=T * TH * TW * n_taps,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, TH, TW), lambda q: (0, q, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TH, TW), lambda q: (q, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TH, TW), lambda q: (q, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TH, TW), lambda q: (q, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, T * TH, TW), jnp.float32),
+            jax.ShapeDtypeStruct((T * TH, TW), jnp.float32),
+            jax.ShapeDtypeStruct((T * TH, TW), jnp.float32),
+            jax.ShapeDtypeStruct((T * TH, TW), jnp.float32),
+        ],
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=pc.vmem_limit_bytes,
+        ),
+        interpret=pc.interpret,
+    )(uniforms, params, tile_rows, tile_cols)
 
 
 @functools.partial(jax.jit, static_argnames=("scene_treedef", "leaf_shapes", "cfg", "pc"))

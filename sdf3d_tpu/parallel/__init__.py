@@ -21,6 +21,11 @@ from sdf3d_tpu.parallel.shard_render import (
     loss_and_grad_sharded,
 )
 from sdf3d_tpu.parallel.collectives import pallas_psum, pallas_psum_tree
+from sdf3d_tpu.parallel.tile_queue import (
+    TilePlan,
+    plan_tiles,
+    render_pallas_tiles,
+)
 
 __all__ = [
     "make_mesh",
@@ -30,4 +35,7 @@ __all__ = [
     "loss_and_grad_sharded",
     "pallas_psum",
     "pallas_psum_tree",
+    "TilePlan",
+    "plan_tiles",
+    "render_pallas_tiles",
 ]

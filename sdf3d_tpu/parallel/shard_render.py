@@ -124,9 +124,6 @@ def render_sharded(
     return shard_fn(scene, origins, directions, light, mat)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("config", "pc", "mesh", "interleaved", "planar")
-)
 def render_pallas_sharded(
     scene: SDFNode,
     camera: Camera,
@@ -137,10 +134,65 @@ def render_pallas_sharded(
     pc: PallasRenderConfig = PallasRenderConfig(),
     interleaved: bool = False,
     planar: bool = False,
+    layout: str | None = None,
+    policy: str = "round_robin",
+    work=None,
 ) -> jnp.ndarray:
-    """Fused-kernel sharded render: each device runs the Pallas kernel on its
-    share of image rows.  Returns ``(H, W, 3)`` (kernel-native ``(3, H, W)``
-    when ``planar=True``).
+    """Fused-kernel sharded render.  Returns ``(H, W, 3)`` (kernel-native
+    ``(3, H, W)`` when ``planar=True``).
+
+    ``layout`` selects the sharding explicitly: ``"contiguous"`` /
+    ``"interleaved"`` row layouts, ``"tiles"`` (the load-balanced 2-D tile
+    queue, parallel/tile_queue.py, with ``policy``/``work`` as in
+    ``plan_tiles``), or ``"auto"`` — tiles once the mesh is large enough
+    that row layouts fall under the scaling bar (n ≥ 16, SCALING.jsonl) and
+    the image divides into tiles, else interleaved when divisible, else
+    contiguous.  ``None`` keeps the legacy ``interleaved`` flag.
+    """
+    n = mesh.shape[tile_axis]
+    if layout is not None:
+        if layout == "auto":
+            if (
+                n >= 16
+                and config.height % pc.tile_h == 0
+                and config.width % pc.tile_w == 0
+            ):
+                layout = "tiles"
+            elif config.height % (n * pc.tile_h) == 0:
+                layout = "interleaved"
+            else:
+                layout = "contiguous"
+        if layout == "tiles":
+            from sdf3d_tpu.parallel.tile_queue import render_pallas_tiles
+
+            return render_pallas_tiles(
+                scene, camera, light, mat, config, mesh, pc,
+                policy=policy, work=work, planar=planar,
+            )
+        if layout not in ("contiguous", "interleaved"):
+            raise ValueError(f"unknown layout {layout!r}")
+        interleaved = layout == "interleaved"
+    return _render_pallas_sharded_rows(
+        scene, camera, light, mat, config, mesh, pc, interleaved, planar
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "pc", "mesh", "interleaved", "planar")
+)
+def _render_pallas_sharded_rows(
+    scene: SDFNode,
+    camera: Camera,
+    light: PointLight,
+    mat: Material,
+    config: RenderConfig,
+    mesh: Mesh,
+    pc: PallasRenderConfig = PallasRenderConfig(),
+    interleaved: bool = False,
+    planar: bool = False,
+) -> jnp.ndarray:
+    """Row-layout sharded render: each device runs the Pallas kernel on its
+    share of image rows.
 
     ``interleaved=False`` (default): device ``d`` renders the contiguous row
     slab ``[d·H/n, (d+1)·H/n)`` — zero data movement, but slabs see very

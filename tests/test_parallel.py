@@ -233,6 +233,124 @@ class TestShardedPallasGradients:
         np.testing.assert_array_equal(np.asarray(y[16:24]), np.asarray(x[8:16]))
 
 
+class TestTileQueue:
+    """Load-balanced 2-D tile-queue sharding (parallel/tile_queue.py) — the
+    ≥16-chip answer to the scaling bar (SCALING.jsonl)."""
+
+    @pytest.mark.parametrize("policy", ["round_robin", "balanced"])
+    @pytest.mark.parametrize("hw", [(96, 256), (88, 256)])
+    def test_plan_covers_every_tile_once(self, policy, hw):
+        H, W = hw
+        from sdf3d_tpu.parallel.tile_queue import plan_tiles
+
+        nh, nw = H // 8, W // 128
+        work = np.arange(nh * nw, dtype=np.float64).reshape(nh, nw) ** 2
+        plan = plan_tiles(H, W, 8, 128, 8, policy, work)
+        assert plan.rows.shape == plan.cols.shape == (8, -(-nh * nw // 8))
+        seen = set()
+        for d in range(8):
+            for t in range(plan.tiles_per_device):
+                r, c = float(plan.rows[d, t]), float(plan.cols[d, t])
+                if r == H:
+                    continue  # dummy
+                assert r % 8 == 0 and c % 128 == 0
+                seen.add((r, c))
+        assert len(seen) == nh * nw  # every tile exactly once
+        # gather_index inverts the assignment for every real tile.
+        for bi in range(nh):
+            for bj in range(nw):
+                g = int(plan.gather_index[bi, bj])
+                d, s = divmod(g, plan.tiles_per_device)
+                assert float(plan.rows[d, s]) == bi * 8
+                assert float(plan.cols[d, s]) == bj * 128
+
+    def test_balanced_plan_balances_work(self):
+        from sdf3d_tpu.parallel.tile_queue import plan_tiles
+
+        rng = np.random.default_rng(0)
+        work = rng.exponential(size=(12, 2))
+        per_dev = {}
+        for policy in ("round_robin", "balanced"):
+            plan = plan_tiles(96, 256, 8, 128, 4, policy, work)
+            loads = np.zeros(4)
+            for d in range(4):
+                for t in range(plan.tiles_per_device):
+                    r, c = plan.rows[d, t], plan.cols[d, t]
+                    if r == 96:
+                        continue
+                    loads[d] += work[int(r) // 8, int(c) // 128]
+            per_dev[policy] = loads.max()
+        assert per_dev["balanced"] <= per_dev["round_robin"] + 1e-9
+
+    @pytest.mark.parametrize("hw", [(96, 256), (88, 256)])
+    def test_tiles_forward_matches_unsharded(self, mesh8, hw):
+        """Tile-queue sharded render == unsharded kernel (interpret; 1-ulp
+        tolerance for the shard_map fusion context, as with row layouts) —
+        including the non-divisible case where dummy tiles pad the count."""
+        from sdf3d_tpu.ops.render_kernel import render_kernel_forward
+        from sdf3d_tpu.parallel import render_pallas_sharded
+        from sdf3d_tpu.parallel.tile_queue import render_pallas_tiles
+
+        H, W = hw
+        cfg = dataclasses.replace(CFG, width=W, height=H)
+        pc = PallasRenderConfig(tile_h=8, tile_w=128, interpret=True)
+        ref, _, _, _ = render_kernel_forward(
+            s.reference_scene(), CAM, LIGHT, MAT, cfg, pc
+        )
+        img = render_pallas_tiles(
+            s.reference_scene(), CAM, LIGHT, MAT, cfg, mesh8, pc
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(img), atol=1e-6, rtol=1e-6
+        )
+        # The shard_render dispatcher routes layout="tiles" identically.
+        img2 = render_pallas_sharded(
+            s.reference_scene(), CAM, LIGHT, MAT, cfg, mesh8, pc, layout="tiles"
+        )
+        np.testing.assert_array_equal(np.asarray(img), np.asarray(img2))
+
+    @pytest.mark.parametrize("policy", ["round_robin", "balanced"])
+    def test_tiles_fit_matches_unsharded(self, mesh8, policy):
+        """fit_scene(shard_layout='tiles') reproduces the unsharded fused
+        fit trajectory (losses and parameters)."""
+        from sdf3d_tpu.fit import FitConfig, fit_scene
+
+        cfg = dataclasses.replace(CFG, width=128, height=48)
+        target = np.asarray(s.render(s.reference_scene(), CAM, LIGHT, MAT, cfg))
+        scene0 = s.sdf.union(
+            s.sdf.ground_plane(),
+            s.sdf.sphere(center=(0.05, 0.45, 0.0), radius=0.25),
+        )
+        common = dict(
+            steps=2, learning_rate=1e-2, log_every=1, engine="pallas",
+            pallas_interpret=True, pallas_tile=(8, 128),
+        )
+        ref = fit_scene(target, scene0, CAM, LIGHT, MAT, cfg, FitConfig(**common))
+        got = fit_scene(
+            target, scene0, CAM, LIGHT, MAT, cfg,
+            FitConfig(**common, shard_layout="tiles", shard_policy=policy),
+            mesh=mesh8,
+        )
+        np.testing.assert_allclose(got.losses, ref.losses, rtol=1e-5)
+        np.testing.assert_allclose(
+            float(got.scene.b.radius), float(ref.scene.b.radius), rtol=1e-5
+        )
+
+    def test_estimate_tile_work_ranks_object_tiles_highest(self):
+        from sdf3d_tpu.parallel.tile_queue import (
+            estimate_tile_work,
+            pool_work_to_tiles,
+        )
+
+        cfg = dataclasses.replace(CFG, width=256, height=96)
+        steps = estimate_tile_work(s.reference_scene(), CAM, cfg, LIGHT, scale=4)
+        work = pool_work_to_tiles(steps, 96, 256, 8, 128)
+        assert work.shape == (12, 2)
+        # Sky tiles (top rows) march a handful of steps; object/ground tiles
+        # march deep — the estimate must reflect that ordering.
+        assert work[6:].mean() > 1.5 * work[:2].mean()
+
+
 class TestGraftEntry:
     @pytest.mark.slow
     def test_dryrun_multichip(self):
