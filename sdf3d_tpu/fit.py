@@ -122,9 +122,12 @@ class FitConfig:
     #: "balanced" (greedy LPT on a 1/8-resolution march pre-pass of the
     #: *initial* scene — the measured-work static schedule).
     shard_policy: str = "round_robin"
-    #: Gradient all-reduce for sharded fits: "psum" (XLA collective; default)
-    #: or "pallas_ring" / "pallas_ring_interpret" (the overlapped ring kernel,
-    #: one launch per step over the flattened gradient vector).
+    #: Gradient all-reduce for sharded fits: "psum" (XLA collective;
+    #: default), "pallas_ring" (the overlapped ring kernel, one launch per
+    #: step over the flattened gradient vector — auto-selects the bandwidth
+    #: RS+AG ring for large payloads like NeuralSDF MLP grads), or
+    #: "pallas_rs_ag" (force the RS+AG ring).  "*_interpret" variants run
+    #: the Pallas interpreter (CPU-mesh tests).
     allreduce: str = "psum"
 
 
@@ -472,15 +475,37 @@ def fit_scene(
                     slab_vag, mesh, allreduce=fit_config.allreduce
                 )
             else:
-                def slab_loss(scene_, o_, d_, tgt_):
-                    row0, stride = _slab_row0_stride()
-                    img = render_pallas_rows(
-                        scene_, camera, light, mat, slab_cfg, pc, row0, stride
-                    )
-                    rgb_t, cov_t = _split_target(tgt_)
-                    return pixel_loss(
-                        img, rgb_t, fit_config.loss, fit_config.pyramid_levels
-                    ) + _sil_term(scene_, o_, d_, cov_t)
+                from sdf3d_tpu.ops.render_pallas import _scene_compiles
+
+                if _scene_compiles(scene0):
+                    def slab_loss(scene_, o_, d_, tgt_):
+                        row0, stride = _slab_row0_stride()
+                        img = render_pallas_rows(
+                            scene_, camera, light, mat, slab_cfg, pc, row0, stride
+                        )
+                        rgb_t, cov_t = _split_target(tgt_)
+                        return pixel_loss(
+                            img, rgb_t, fit_config.loss, fit_config.pyramid_levels
+                        ) + _sil_term(scene_, o_, d_, cov_t)
+                else:
+                    # Scene families without a Mosaic emitter (NeuralSDF,
+                    # VoxelGrid): each device renders its row slab with the
+                    # banded-XLA differentiable path — the same delegation
+                    # render_pallas makes unsharded — and the MLP/grid
+                    # gradient pytree all-reduces once per step (the RS+AG
+                    # bandwidth ring's stated purpose; set
+                    # allreduce="pallas_ring" / "pallas_rs_ag").
+                    from sdf3d_tpu.render import render_rays_banded
+
+                    def slab_loss(scene_, o_, d_, tgt_):
+                        img = render_rays_banded(
+                            scene_, o_, d_, light, mat, render_config,
+                            inner=render_rays_diff,
+                        )
+                        rgb_t, cov_t = _split_target(tgt_)
+                        return pixel_loss(
+                            img, rgb_t, fit_config.loss, fit_config.pyramid_levels
+                        ) + _sil_term(scene_, o_, d_, cov_t)
 
                 value_and_grad = loss_and_grad_sharded(
                     slab_loss, mesh, allreduce=fit_config.allreduce

@@ -396,6 +396,30 @@ def pallas_psum(
     return jnp.reshape(jnp.ravel(reduced)[:n], jnp.shape(x)).astype(x.dtype)
 
 
+def allreduce_tree(tree, allreduce: str, num_devices: int, axis: str = tile_axis):
+    """Dispatch a gradient-pytree all-reduce by config name — the single
+    switch behind every sharded fit wrapper (shard_render, tile_queue):
+
+    - ``"psum"``: XLA's collective (the tuned default);
+    - ``"pallas_ring"`` / ``"pallas_ring_interpret"``: one ring-kernel
+      launch, algorithm auto-selected by payload (latency ring for
+      analytic-scene gradients, bandwidth RS+AG once the flattened vector
+      is large — neural MLPs);
+    - ``"pallas_rs_ag"`` / ``"pallas_rs_ag_interpret"``: force the
+      bandwidth-optimal RS+AG ring regardless of payload size.
+    """
+    if allreduce == "psum":
+        return jax.tree_util.tree_map(lambda g: lax.psum(g, axis), tree)
+    if allreduce in ("pallas_ring", "pallas_ring_interpret",
+                     "pallas_rs_ag", "pallas_rs_ag_interpret"):
+        return pallas_psum_tree(
+            tree, num_devices, axis,
+            interpret=allreduce.endswith("_interpret"),
+            algorithm="rs_ag" if "rs_ag" in allreduce else "auto",
+        )
+    raise ValueError(f"unknown allreduce {allreduce!r}")
+
+
 def pallas_psum_tree(tree, num_devices: int, axis: str = tile_axis,
                      interpret: bool = False, algorithm: str = "auto",
                      collective_id: int | None = None):

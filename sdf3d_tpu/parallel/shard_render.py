@@ -286,17 +286,9 @@ def fused_loss_and_grad_sharded(
     def shard_fn(scene_, o_slab, d_slab, target_slab):
         loss, grads = vag_fn(scene_, o_slab, d_slab, target_slab)
         loss = jax.lax.psum(loss, tile_axis)
-        if allreduce == "psum":
-            grads = jax.lax.psum(grads, tile_axis)
-        elif allreduce in ("pallas_ring", "pallas_ring_interpret"):
-            from sdf3d_tpu.parallel.collectives import pallas_psum_tree
+        from sdf3d_tpu.parallel.collectives import allreduce_tree
 
-            grads = pallas_psum_tree(
-                grads, mesh.shape[tile_axis],
-                interpret=(allreduce == "pallas_ring_interpret"),
-            )
-        else:
-            raise ValueError(f"unknown allreduce {allreduce!r}")
+        grads = allreduce_tree(grads, allreduce, mesh.shape[tile_axis])
         return loss, grads
 
     return shard_fn

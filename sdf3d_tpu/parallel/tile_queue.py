@@ -282,17 +282,9 @@ def fused_tiles_loss_and_grad_sharded(vag_fn, mesh: Mesh, allreduce: str = "psum
     def shard_fn(scene_, trow, tcol, tgt_stack):
         loss, grads = vag_fn(scene_, trow[0], tcol[0], tgt_stack[0])
         loss = jax.lax.psum(loss, tile_axis)
-        if allreduce == "psum":
-            grads = jax.lax.psum(grads, tile_axis)
-        elif allreduce in ("pallas_ring", "pallas_ring_interpret"):
-            from sdf3d_tpu.parallel.collectives import pallas_psum_tree
+        from sdf3d_tpu.parallel.collectives import allreduce_tree
 
-            grads = pallas_psum_tree(
-                grads, mesh.shape[tile_axis],
-                interpret=(allreduce == "pallas_ring_interpret"),
-            )
-        else:
-            raise ValueError(f"unknown allreduce {allreduce!r}")
+        grads = allreduce_tree(grads, allreduce, mesh.shape[tile_axis])
         return loss, grads
 
     return shard_fn

@@ -211,6 +211,40 @@ def render_banded(
     return out.reshape(Hp, W, 3)[:H]
 
 
+def render_rays_banded(
+    scene: SDFNode,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    light: PointLight,
+    mat: Material,
+    config: RenderConfig,
+    band_rows: int = 48,
+    inner=None,
+) -> jnp.ndarray:
+    """Row-banded render of an **explicit ray bundle** (h, W, 3)×2 —
+    :func:`render_banded`'s early-exit trick for callers that already hold
+    their rays, e.g. one device's row slab under ``shard_map`` (the sharded
+    NeuralSDF/VoxelGrid fit path, fit.py).  Per-ray values are identical to
+    the unbanded render (banding only decouples the whole-batch convergence
+    test), so sharded-band partitions reproduce unsharded images exactly up
+    to float summation order.  ``inner`` defaults to :func:`render_rays`;
+    pass ``diff.render_rays_diff`` for the implicit-VJP differentiable
+    path (``lax.map`` differentiates through the band loop).
+    """
+    fn = inner or render_rays
+    H, W = origins.shape[0], origins.shape[1]
+    band_rows = min(band_rows, H)
+    Hp = ((H + band_rows - 1) // band_rows) * band_rows
+    if Hp != H:
+        pad = ((0, Hp - H), (0, 0), (0, 0))
+        origins = jnp.pad(origins, pad, mode="edge")
+        directions = jnp.pad(directions, pad, mode="edge")
+    ob = origins.reshape(Hp // band_rows, band_rows, W, 3)
+    db = directions.reshape(Hp // band_rows, band_rows, W, 3)
+    out = jax.lax.map(lambda od: fn(scene, od[0], od[1], light, mat, config), (ob, db))
+    return out.reshape(Hp, W, 3)[:H]
+
+
 @partial(jax.jit, static_argnames=("config", "band_rows"))
 def render_aux_banded(
     scene: SDFNode,

@@ -101,6 +101,53 @@ class TestImageFit:
         assert isinstance(result.scene, NeuralSDF)
 
 
+class TestShardedNeuralFit:
+    """Neural scenes × the distributed layer (round-5 VERDICT item 4): the
+    sharded fit runs the banded-XLA differentiable path per row slab and
+    all-reduces the MLP gradient pytree with the Pallas rings."""
+
+    def _setup(self):
+        cfg = dataclasses.replace(
+            s.REFERENCE_CONFIG, width=64, height=48,
+            march=dataclasses.replace(s.REFERENCE_CONFIG.march, max_steps=32),
+            shadow=dataclasses.replace(s.REFERENCE_CONFIG.shadow, enabled=False),
+        )
+        cam = s.Camera.reference()
+        light, mat = s.reference_light(), s.reference_material()
+        target = s.render(
+            sdf.sphere(center=(0.05, 0.42, 0.0), radius=0.23), cam, light, mat, cfg
+        )
+        m0 = neural_sdf(key=0, hidden=16, depth=3, radius=0.3)
+        return cfg, cam, light, mat, target, m0
+
+    def test_sharded_neural_fit_matches_unsharded(self):
+        from sdf3d_tpu.fit import FitConfig, fit_scene
+        from sdf3d_tpu.parallel import make_mesh
+
+        cfg, cam, light, mat, target, m0 = self._setup()
+        mesh = make_mesh(jax.devices("cpu"), n_devices=8)
+        common = dict(steps=2, learning_rate=1e-4, log_every=1, engine="pallas")
+        ref = fit_scene(target, m0, cam, light, mat, cfg, FitConfig(**common))
+        for allreduce in ("psum", "pallas_ring_interpret", "pallas_rs_ag_interpret"):
+            got = fit_scene(
+                target, m0, cam, light, mat, cfg,
+                FitConfig(**common, allreduce=allreduce), mesh=mesh,
+            )
+            np.testing.assert_allclose(
+                got.losses, ref.losses, rtol=1e-5,
+                err_msg=f"allreduce={allreduce}",
+            )
+            import jax.flatten_util as fu
+
+            a, _ = fu.ravel_pytree(got.scene)
+            b, _ = fu.ravel_pytree(ref.scene)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+                err_msg=f"allreduce={allreduce}",
+            )
+            assert isinstance(got.scene, NeuralSDF)
+
+
 class TestNeuralKernel:
     """Matrix-layout MXU kernel (interpret mode on CPU)."""
 
