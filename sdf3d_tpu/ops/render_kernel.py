@@ -107,6 +107,14 @@ class PallasRenderConfig:
     ray_sdf: bool = True
     interpret: bool = False
     vmem_limit_bytes: int | None = None
+    #: Evaluate the primary-march stop predicate (2 compares + or + select,
+    #: ~4 of the ~10 vector ops/step) only every N-th unrolled step.  N > 1
+    #: is a declared NON-PARITY knob for the fast profile: lanes overstep
+    #: the surface by up to N−1 extra steps before freezing (each overstep
+    #: moves the hit point by ≤ |sdf| < ε after the first crossing, so the
+    #: image error is ε-scale; PSNR measured in benchmarks/fast_profile).
+    #: Requires check_every % stop_every == 0.  Parity paths keep 1.
+    stop_every: int = 1
 
 
 def _walk_nodes(node):
@@ -212,7 +220,7 @@ def _tile_rays(uni, rows, cols, cfg, TH, TW):
     return (ox, oy, oz), (dx, dy, dz)
 
 
-def _march_primary(ev_primary, mc, chk, TH, TW, track_min: bool = False):
+def _march_primary(ev_primary, mc, chk, TH, TW, track_min: bool = False, stop_every: int = 1):
     """Primary sphere-trace march (voxel_fragment.frag:86-103 semantics).
 
     Lane masks are carried as f32 0/1 planes: Mosaic cannot legalize
@@ -301,6 +309,11 @@ def _march_primary(ev_primary, mc, chk, TH, TW, track_min: bool = False):
             if mc.max_steps % chk != 0:
                 eff = active * jnp.where(step + i < mc.max_steps, 1.0, 0.0)
             dist = dist + eff * s
+            if (i + 1) % stop_every != 0:
+                # Fast-profile stop-thinning (pc.stop_every > 1): skip the
+                # predicate on this unrolled step — lanes overstep and
+                # freeze at the next evaluated predicate.
+                continue
             stop = (dist > mc.max_distance) | (s < mc.epsilon)
             if mc.max_steps % chk != 0:
                 # Guarded-off steps must not freeze on a stale predicate.
@@ -467,12 +480,19 @@ def _tile_primal(uni, getp, sdf, soa_ray, rows, cols, cfg, pc, track_min: bool =
         def ev_primary(t):
             return sdf(ox + t * dx, oy + t * dy, oz + t * dz)
 
+    stop_every = max(1, pc.stop_every)
+    if stop_every > 1 and chk % stop_every != 0:
+        raise ValueError(
+            f"stop_every ({stop_every}) must divide check_every ({chk})"
+        )
     min_planes = ()
     if track_min:
+        # The min-SDF tracker needs the per-step predicate (argmin gating);
+        # stop-thinning applies only to the plain parity-shape march.
         t, min_s, t_min = _march_primary(ev_primary, mc, chk, TH, TW, track_min=True)
         min_planes = (min_s, t_min)
     else:
-        t = _march_primary(ev_primary, mc, chk, TH, TW)
+        t = _march_primary(ev_primary, mc, chk, TH, TW, stop_every=stop_every)
 
     hx, hy, hz = ox + t * dx, oy + t * dy, oz + t * dz
     nx, ny, nz = _tile_normals(sdf, hx, hy, hz, cfg)

@@ -379,11 +379,24 @@ def _quad_eval(qa, qb, qc, t):
 
 
 def _ray_sphere(n, ox, oy, oz, dx, dy, dz, getp, off):
+    # Completed-square form (round-5 march-op diet): |o + t·d − c| − r
+    # = A·sqrt((t+B)² + C) − r with A = |d|, B = qb/qa, C = qc/qa − B²,
+    # all per-ray setup constants hoisted out of the march loop.  Per step:
+    # add + FMA + sqrt + FMA (A and −r fold into one) = 3 vector ops +
+    # sqrt, vs 5 for the raw quadratic — and C is clamped ≥ 0 at setup, so
+    # (t+B)² + C can never round negative and the per-step max() guard
+    # drops too.  Rounding differs from the point form by the documented
+    # ray-form ~1 ulp (razor-edge pixel budget, tests/test_tpu_parity.py).
     cx, cy, cz, r = getp(off), getp(off + 1), getp(off + 2), getp(off + 3)
     qa, qb, qc = _quad_coeffs(ox - cx, oy - cy, oz - cz, dx, dy, dz)
+    inv_qa = 1.0 / jnp.maximum(qa, 1e-24)
+    A = jnp.sqrt(qa)
+    B = qb * inv_qa
+    C = jnp.maximum(qc * inv_qa - B * B, 0.0)
 
     def ev(t):
-        return jnp.sqrt(jnp.maximum(_quad_eval(qa, qb, qc, t), 0.0)) - r
+        u = t + B
+        return A * jnp.sqrt(u * u + C) - r
 
     return ev
 
