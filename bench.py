@@ -37,6 +37,38 @@ print("BENCH_JSON:" + json.dumps(result))
 """
 
 
+# Secondary metrics (4K fwd/fit, multiview, fast profile, fractal —
+# sdf3d_tpu.bench.run_extras) run in their OWN child after the primary
+# number is already in hand: a hang or failure there costs nothing.
+_EXTRAS_CHILD = """\
+import json, sys
+import jax, jax.numpy as jnp
+assert float(jnp.sum(jnp.ones((64, 64)))) == 4096.0
+from sdf3d_tpu.bench import run_extras
+print("EXTRAS_JSON:" + json.dumps(run_extras(budget_s=float(sys.argv[1]))))
+"""
+
+
+def try_extras(timeout_s: float) -> dict | None:
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _EXTRAS_CHILD, str(max(120.0, timeout_s - 60.0))],
+            timeout=timeout_s,
+            capture_output=True,
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"extras attempt timed out after {timeout_s:.0f}s", file=sys.stderr)
+        return None
+    for line in proc.stdout.splitlines():
+        if line.startswith("EXTRAS_JSON:"):
+            return json.loads(line[len("EXTRAS_JSON:"):])
+    tail = (proc.stderr or "").strip().splitlines()[-3:]
+    print(f"extras attempt produced no JSON (rc={proc.returncode}): "
+          f"{' | '.join(tail)}", file=sys.stderr)
+    return None
+
+
 def try_tpu_once(timeout_s: float) -> dict | None:
     try:
         proc = subprocess.run(
@@ -78,6 +110,15 @@ def main() -> int:
         if result is not None:
             result["fallback"] = False
             result["attempts"] = attempt
+            # Secondary metrics with whatever budget remains (never at the
+            # expense of the primary, which is already captured).
+            extras_budget = min(900.0, deadline - time.monotonic() - 30.0)
+            if extras_budget > 180.0 and os.environ.get(
+                "SDF3D_BENCH_EXTRAS", "1"
+            ) != "0":
+                extras = try_extras(extras_budget)
+                if extras is not None:
+                    result["extras"] = extras
             break
         # Hung tunnels recover on the scale of minutes; back off so attempts
         # are spread over the whole budget instead of burning it up front.

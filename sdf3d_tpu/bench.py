@@ -112,6 +112,80 @@ def robust_slope_seconds_per_frame(
     return positive[1]
 
 
+def _multiview_extra() -> dict:
+    """V=4 multiview fused fit step at 720p (one view-axis-grid launch)."""
+    import sdf3d_tpu as s
+    from sdf3d_tpu.ops import default_pallas_config
+    from sdf3d_tpu.ops.fit_kernel import multiview_loss_and_grads
+
+    W, H, V = 1280, 720, 4
+    cfg = dataclasses.replace(s.REFERENCE_CONFIG, width=W, height=H)
+    scene = s.reference_scene()
+    pc = default_pallas_config(scene)
+    light, mat = s.reference_light(), s.reference_material()
+    cams = [s.Camera.orbit(azimuth_deg=(137.508 * i) % 360.0) for i in range(V)]
+    targets = [jnp.zeros((H, W, 3), jnp.float32)] * V
+
+    def make_fn(k):
+        @jax.jit
+        def fn(sc):
+            def body(sc_, _):
+                _, (g, _, _, _) = multiview_loss_and_grads(
+                    cfg, pc, sc_, cams, light, mat, targets, wrt_uniforms=False
+                )
+                sc_ = jax.tree_util.tree_map(lambda p, gg: p - 1e-30 * gg, sc_, g)
+                return sc_, jnp.float32(0.0)
+
+            _, vals = jax.lax.scan(body, sc, None, length=k)
+            return vals
+
+        return fn
+
+    sec = robust_slope_seconds_per_frame(
+        make_fn, (scene,), k_small=4, k_large=16, iters=2,
+        min_rounds=4, max_rounds=12,
+    )
+    return {"rays_per_second": W * H * V / sec, "seconds_per_step": sec,
+            "views": V, "resolution": f"{W}x{H}"}
+
+
+def run_extras(budget_s: float = 900.0) -> dict:
+    """Secondary tracking metrics beyond the driver headline (round-5
+    VERDICT item 7): 4K forward + fit, the V=4 multiview fit step, the fast
+    profile, and the eval-dominated fractal fit — the numbers that
+    previously lived only in docs prose, captured machine-readable every
+    round so regressions in non-flagship paths become visible.
+
+    Runs with a reduced measurement protocol (fewer slope rounds than the
+    headline); each entry either carries rays/s + seconds or an error
+    string.  Never raises — callers embed whatever completed.
+    """
+    out: dict = {}
+    deadline = time.monotonic() + budget_s
+
+    def _run(name, fn):
+        if time.monotonic() > deadline - 60:
+            out[name] = "skipped: extras budget exhausted"
+            return
+        try:
+            out[name] = fn()
+        except Exception as e:  # noqa: BLE001 - diagnostic capture
+            out[name] = f"error: {type(e).__name__}: {e}"
+
+    def _via(mode, **kw):
+        r = run_benchmark(engine="pallas", mode=mode, iters=4,
+                          frames_per_dispatch=8, **kw)
+        return {"rays_per_second": r["value"],
+                "seconds_per_frame": r["seconds_per_frame"]}
+
+    _run("fwd_4k", lambda: _via("fwd", width=3840, height=2160))
+    _run("fit_4k", lambda: _via("fwd_bwd", width=3840, height=2160))
+    _run("fit_fast_1080p", lambda: _via("fwd_bwd", profile="fast"))
+    _run("fit_fractal_1080p", lambda: _via("fwd_bwd", scene_name="fractal"))
+    _run("fit_multiview_720p_v4", _multiview_extra)
+    return out
+
+
 def run_benchmark(
     width: int = 1920,
     height: int = 1080,
