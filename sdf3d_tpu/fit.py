@@ -148,6 +148,31 @@ class ViewFitResult:
     steps_run: int
 
 
+def _frozen_param_slots(scene0, trainable) -> tuple:
+    """Flat scene-param-vector indices of frozen leaves (``trainable`` is a
+    per-leaf bool pytree matching ``scene0``).  Fed to the fused fit kernel
+    as static ``frozen_slots`` so frozen params enter the in-kernel loss as
+    trace constants — their reverse chains are dead code Mosaic never emits
+    (the AD section shrinks with the trainable count).  Returns ``()`` when
+    everything is trainable, or when everything is frozen (a degenerate
+    'fit' keeps the conventional all-params path)."""
+    if trainable is None:
+        return ()
+    import numpy as np
+
+    t_leaves = jax.tree_util.tree_leaves(trainable)
+    s_leaves = jax.tree_util.tree_leaves(scene0)
+    idx, off = [], 0
+    for tl, sl in zip(t_leaves, s_leaves):
+        n = max(1, int(np.prod(np.shape(sl))))
+        if not bool(tl):
+            idx.extend(range(off, off + n))
+        off += n
+    if len(idx) == off:
+        return ()
+    return tuple(idx)
+
+
 def _make_optimizer(cfg: FitConfig) -> optax.GradientTransformation:
     if cfg.optimizer == "adam":
         return optax.adam(cfg.learning_rate)
@@ -362,6 +387,7 @@ def fit_scene(
             render_config, scene0, loss=fit_config.loss,
             levels=fit_config.pyramid_levels, sil_w=sil_w, pc=pc,
         )
+        frozen_slots = _frozen_param_slots(scene0, trainable)
 
         def _fused_args(tgt_):
             rgb_t, cov_t = _split_target(tgt_)
@@ -369,6 +395,7 @@ def fit_scene(
                 wrt_uniforms=False, loss_kind=fit_config.loss,
                 levels=fit_config.pyramid_levels, sil_w=float(sil_w),
                 sil_beta=fit_config.silhouette_beta, target_coverage=cov_t,
+                frozen_slots=frozen_slots,
             )
 
         if mesh is not None and shard_layout == "tiles":
@@ -415,7 +442,7 @@ def fit_scene(
                     rgb_t, trow_, tcol_, wrt_uniforms=False,
                     loss_kind=fit_config.loss, levels=fit_config.pyramid_levels,
                     sil_w=float(sil_w), sil_beta=fit_config.silhouette_beta,
-                    coverage_tiles=cov_t,
+                    coverage_tiles=cov_t, frozen_slots=frozen_slots,
                 )
                 return loss, grads[0]
 
@@ -438,27 +465,34 @@ def fit_scene(
                 interleave_rows,
             )
 
-            n = mesh.shape[tile_axis]
-            if render_config.height % n != 0:
+            n_dev = mesh.shape[tile_axis]
+            if render_config.height % n_dev != 0:
                 raise ValueError(
-                    f"height {render_config.height} not divisible by mesh size {n}"
+                    f"height {render_config.height} not divisible by mesh size {n_dev}"
                 )
-            slab = render_config.height // n
+            slab = render_config.height // n_dev
             th = pc.tile_h
             interleaved = shard_layout == "interleaved"
             if interleaved and slab % th != 0:
                 raise ValueError(
                     "interleaved sharding needs height divisible by "
-                    f"n_devices*tile_h ({render_config.height} % {n * th} != 0)"
+                    f"n_devices*tile_h ({render_config.height} % {n_dev * th} != 0)"
                 )
             slab_cfg = dataclasses.replace(
                 render_config, height=slab, ndc_height=render_config.height
             )
 
+            # NOTE: this closure is traced lazily inside run_chunk, so it
+            # must only capture names that are never rebound later in this
+            # function — the round-4 code captured ``n``, which the chunk
+            # loop shadows with the chunk step count, silently turning the
+            # interleaved rowstride into chunk_steps·tile_h (a WRONG
+            # objective).  Regression-pinned by
+            # test_fit.py::test_pallas_engine_sharded_interleaved_matches_unsharded.
             def _slab_row0_stride():
                 idx = jax.lax.axis_index(tile_axis)
                 if interleaved:
-                    return (idx * th).astype(jnp.float32), jnp.float32(n * th)
+                    return (idx * th).astype(jnp.float32), jnp.float32(n_dev * th)
                 return (idx * slab).astype(jnp.float32), jnp.float32(th)
 
             if use_fused_loss:
@@ -515,9 +549,9 @@ def fit_scene(
                 # shard holds exactly the interleaved rows it renders.
                 # (Multi-host inputs are built directly in permuted order —
                 # launch.abs_rows_for_block — so no global pass is needed.)
-                origins = interleave_rows(origins, n, th)
-                directions = interleave_rows(directions, n, th)
-                target = interleave_rows(target, n, th)
+                origins = interleave_rows(origins, n_dev, th)
+                directions = interleave_rows(directions, n_dev, th)
+                target = interleave_rows(target, n_dev, th)
         elif use_fused_loss:
             def value_and_grad(scene_, o_, d_, tgt_):
                 rgb_t, kw = _fused_args(tgt_)
@@ -651,12 +685,12 @@ def fit_scene(
         end = min(fit_config.steps, step + chunk_cap)
         if ckpt_every:
             end = min(end, ((step // ckpt_every) + 1) * ckpt_every)
-        n = end - step
+        n_steps = end - step
         scene, opt_state, chunk_losses = run_chunk(
-            scene, opt_state, origins, directions, target, n
+            scene, opt_state, origins, directions, target, n_steps
         )
         chunk_losses = jax.device_get(chunk_losses).tolist()  # one host sync per chunk
-        steps_run += n
+        steps_run += n_steps
         for i, loss_val in enumerate(chunk_losses):
             gstep = step + i
             if gstep % fit_config.log_every == 0 or gstep == fit_config.steps - 1:
@@ -772,6 +806,8 @@ def fit_scene_multiview(
         ):
             # ONE kernel launch per step for all V views (view-axis grid),
             # not a per-view Python loop of V launches/compiled programs.
+            frozen_slots = _frozen_param_slots(scene0, trainable)
+
             def value_and_grad(scene_):
                 loss, grads = multiview_loss_and_grads(
                     render_config, pc, scene_, cameras, light, mat, targets,
@@ -779,6 +815,7 @@ def fit_scene_multiview(
                     levels=fit_config.pyramid_levels, sil_w=float(sil_w),
                     sil_beta=fit_config.silhouette_beta,
                     target_coverages=target_coverages if sil_w > 0.0 else None,
+                    frozen_slots=frozen_slots,
                 )
                 return loss, grads[0]
         else:

@@ -94,6 +94,7 @@ def _fit_tile_kernel(
     uni, prm, *refs, soa, soa_ray, mat_soa, n_params, cfg: RenderConfig,
     pc: PallasRenderConfig, wrt_uniforms: bool, loss_kind: str, levels: int,
     sil_w: float, sil_beta, multiview: bool = False, tile_queue: bool = False,
+    frozen_slots: tuple = (),
 ):
     """Kernel body: primal march/shadow/AO, then value_and_grad of the masked
     tile loss w.r.t. scalar params and uniforms; writes the
@@ -179,7 +180,13 @@ def _fit_tile_kernel(
     if sil_w > 0.0:
         min_s, t_min = primal[7], primal[8]
 
-    pv = tuple(prm_vals)
+    # Frozen (non-trainable) params enter the loss as trace CONSTANTS, so
+    # their entire reverse chains are dead code Mosaic never emits — the
+    # trainable-mask constant folding of fit.py's ``trainable`` pytrees
+    # (the AD section shrinks with the trainable count).
+    frozen_set = frozenset(frozen_slots)
+    train_idx = tuple(k for k in range(n_params) if k not in frozen_set)
+    pv = tuple(prm_vals[k] for k in train_idx)
     uv = uni  # already the hoisted scalar tuple
 
     def tplane(ref):
@@ -187,7 +194,11 @@ def _fit_tile_kernel(
 
     tgt = (tplane(tr), tplane(tg), tplane(tb))
 
-    def tile_loss(pv_, uv_):
+    def tile_loss(pv_train, uv_):
+        it = iter(pv_train)
+        pv_ = tuple(
+            prm_vals[k] if k in frozen_set else next(it) for k in range(n_params)
+        )
         # _shade_tile re-derives rays/normals/shading from the *fresh* pv_/uv_
         # arguments under AD; t0/shadow/ao enter as trace constants — exactly
         # the detached-shadow + implicit-function-t semantics of the fused
@@ -242,11 +253,16 @@ def _fit_tile_kernel(
         d_uv = ()
     # Compile-time one-hot scatter (see render_bwd_kernel.py): component k
     # lands at (k // 128, k % 128); the tile loss rides as component G.
+    # Frozen slots are never written — their gradient reads as exact zero.
     r8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     c8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     plane = jnp.zeros((8, 128), f32)
     comps = list(d_pv) + list(d_uv) + [loss]
-    slots = list(range(len(d_pv) + len(d_uv))) + [n_params + N_UNIFORMS]
+    slots = (
+        list(train_idx)
+        + list(range(n_params, n_params + len(d_uv)))
+        + [n_params + N_UNIFORMS]
+    )
     for k, d in zip(slots, comps):
         sel = (r8 == k // 128) & (c8 == k % 128)
         plane = plane + jnp.where(sel, d, 0.0)
@@ -260,12 +276,13 @@ def _fit_tile_kernel(
 
 @functools.partial(jax.jit, static_argnames=(
     "scene_treedef", "leaf_shapes", "cfg", "pc", "wrt_uniforms",
-    "loss_kind", "levels", "sil_w", "sil_beta",
+    "loss_kind", "levels", "sil_w", "sil_beta", "frozen_slots",
 ))
 def fit_step_kernel(
     scene_treedef, leaf_shapes, params, uniforms, target, cfg: RenderConfig,
     pc: PallasRenderConfig, wrt_uniforms: bool = True, loss_kind: str = "l2",
     levels: int = 3, sil_w: float = 0.0, sil_beta=None, target_coverage=None,
+    frozen_slots: tuple = (),
 ):
     """Single-launch fused fit step: returns ``(loss, g_params (P,),
     g_uniforms (N_UNIFORMS,))``.
@@ -323,6 +340,7 @@ def fit_step_kernel(
         _fit_tile_kernel, soa=soa, soa_ray=soa_ray, mat_soa=mat_soa, n_params=P, cfg=cfg, pc=pc,
         wrt_uniforms=wrt_uniforms, loss_kind=loss_kind, levels=levels,
         sil_w=float(sil_w), sil_beta=sil_beta, multiview=multiview,
+        frozen_slots=tuple(frozen_slots),
     )
     n_taps = cfg.march.max_steps + 6 + (cfg.shadow.max_steps if cfg.shadow.enabled else 0) + (
         cfg.ao.samples if cfg.ao.enabled else 0
@@ -375,13 +393,14 @@ def fit_step_kernel(
 
 @functools.partial(jax.jit, static_argnames=(
     "scene_treedef", "leaf_shapes", "cfg", "pc", "wrt_uniforms",
-    "loss_kind", "levels", "sil_w", "sil_beta",
+    "loss_kind", "levels", "sil_w", "sil_beta", "frozen_slots",
 ))
 def fit_step_kernel_tiles(
     scene_treedef, leaf_shapes, params, uniforms, target_tiles, tile_rows,
     tile_cols, cfg: RenderConfig, pc: PallasRenderConfig,
     wrt_uniforms: bool = False, loss_kind: str = "l2", levels: int = 3,
     sil_w: float = 0.0, sil_beta=None, coverage_tiles=None,
+    frozen_slots: tuple = (),
 ):
     """Tile-queue fused fit step: like :func:`fit_step_kernel` but over an
     arbitrary tile work-list instead of a rectangular slab grid — the
@@ -432,7 +451,7 @@ def fit_step_kernel_tiles(
         _fit_tile_kernel, soa=soa, soa_ray=soa_ray, mat_soa=mat_soa,
         n_params=P, cfg=cfg, pc=pc, wrt_uniforms=wrt_uniforms,
         loss_kind=loss_kind, levels=levels, sil_w=float(sil_w),
-        sil_beta=sil_beta, tile_queue=True,
+        sil_beta=sil_beta, tile_queue=True, frozen_slots=tuple(frozen_slots),
     )
     n_taps = cfg.march.max_steps + 6 + (cfg.shadow.max_steps if cfg.shadow.enabled else 0) + (
         cfg.ao.samples if cfg.ao.enabled else 0
@@ -520,6 +539,7 @@ def l2_loss_and_grads(
     sil_w: float = 0.0,
     sil_beta=None,
     target_coverage=None,
+    frozen_slots: tuple = (),
 ):
     """Fused ``(loss, (g_scene, g_camera, g_light, g_mat))`` — ONE kernel
     launch, no XLA loss/cotangent pass and no residual round trip.
@@ -553,6 +573,7 @@ def l2_loss_and_grads(
         treedef, leaf_shapes, params, uniforms, target_planar, cfg, pc,
         wrt_uniforms=wrt_uniforms, loss_kind=loss_kind, levels=levels,
         sil_w=float(sil_w), sil_beta=sil_beta, target_coverage=target_coverage,
+        frozen_slots=tuple(frozen_slots),
     )
     (g_scene,) = p_vjp(g_params)
     g_cam, g_light, g_mat = u_vjp(g_uni)
@@ -575,6 +596,7 @@ def l2_loss_and_grads_tiles(
     sil_w: float = 0.0,
     sil_beta=None,
     coverage_tiles=None,
+    frozen_slots: tuple = (),
 ):
     """Tile-queue counterpart of :func:`l2_loss_and_grads`: fused loss +
     gradients over an arbitrary tile work-list (one device's share under
@@ -602,6 +624,7 @@ def l2_loss_and_grads_tiles(
         jnp.asarray(tile_rows, jnp.float32), jnp.asarray(tile_cols, jnp.float32),
         cfg, pc, wrt_uniforms=wrt_uniforms, loss_kind=loss_kind, levels=levels,
         sil_w=float(sil_w), sil_beta=sil_beta, coverage_tiles=coverage_tiles,
+        frozen_slots=tuple(frozen_slots),
     )
     (g_scene,) = p_vjp(g_params)
     g_cam, g_light, g_mat = u_vjp(g_uni)
@@ -622,6 +645,7 @@ def multiview_loss_and_grads(
     sil_w: float = 0.0,
     sil_beta=None,
     target_coverages=None,
+    frozen_slots: tuple = (),
 ):
     """Fused **multi-view** fit step: ONE kernel launch for all V views.
 
@@ -663,6 +687,7 @@ def multiview_loss_and_grads(
         treedef, leaf_shapes, params, uniforms, target_planar, cfg, pc,
         wrt_uniforms=wrt_uniforms, loss_kind=loss_kind, levels=levels,
         sil_w=float(sil_w), sil_beta=sil_beta, target_coverage=covs,
+        frozen_slots=tuple(frozen_slots),
     )
     (g_scene,) = p_vjp(g_params)
     g_cams, g_light_total, g_mat_total = [], None, None

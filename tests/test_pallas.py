@@ -312,6 +312,54 @@ class TestFusedLossGradKernel:
             a, b = np.asarray(gf), np.asarray(gr)
             np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5 * max(1.0, np.abs(b).max()))
 
+    def test_frozen_slots_fold_to_constants(self):
+        """``frozen_slots`` (fit.py trainable masks) must yield exactly-zero
+        gradients at the frozen slots, bit-identical loss, and unchanged
+        gradients at the trainable slots — the frozen params' reverse chains
+        are constant-folded out of the kernel, not just masked after."""
+        import jax.flatten_util as fu
+
+        from sdf3d_tpu.ops.fit_kernel import l2_loss_and_grads
+
+        cfg = dataclasses.replace(CFG, width=128, height=48)
+        scene, target = self._scene_and_target(cfg)
+        l_all, g_all = l2_loss_and_grads(
+            cfg, PC_EXACT, scene, CAM, LIGHT, MAT, target, wrt_uniforms=False
+        )
+        frozen = (0, 1, 2, 3)  # the ground plane's 4 params
+        l_fr, g_fr = l2_loss_and_grads(
+            cfg, PC_EXACT, scene, CAM, LIGHT, MAT, target, wrt_uniforms=False,
+            frozen_slots=frozen,
+        )
+        assert float(l_fr) == pytest.approx(float(l_all), rel=1e-6)
+        a, _ = fu.ravel_pytree(g_all[0])
+        b, _ = fu.ravel_pytree(g_fr[0])
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(b[list(frozen)] == 0.0)
+        live = [k for k in range(a.shape[0]) if k not in frozen]
+        np.testing.assert_allclose(b[live], a[live], rtol=1e-5, atol=1e-6)
+
+        # End-to-end: fit_scene with a trainable mask routes the mask into
+        # the kernel (frozen leaves stay bit-identical through steps).
+        from sdf3d_tpu.fit import FitConfig, fit_scene
+
+        trainable = jax.tree_util.tree_map(lambda _: True, scene)
+        trainable = trainable.replace(
+            a=jax.tree_util.tree_map(lambda _: False, scene.a)
+        )
+        result = fit_scene(
+            target, scene, CAM, LIGHT, MAT, cfg,
+            FitConfig(steps=2, engine="pallas", pallas_interpret=True,
+                      pallas_tile=(8, 128), log_every=1),
+            trainable=trainable,
+        )
+        for la, lb in zip(
+            jax.tree_util.tree_leaves(scene.a),
+            jax.tree_util.tree_leaves(result.scene.a),
+        ):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+        assert result.losses[-1] <= result.losses[0]
+
     @pytest.mark.slow
     def test_padded_tiles_masked(self):
         """Width/height not tile multiples: padding lanes (whose target is
