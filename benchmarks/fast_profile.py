@@ -51,16 +51,25 @@ def main() -> None:
         out["deltas"].append(d)
         print(json.dumps(d))
 
-    for profile in ("parity", "fast"):
+    # "fast_stop2" = fast profile + pc.stop_every=2 (the round-5 predicate-
+    # thinning knob — kernel-level, so its image delta is measured against
+    # the parity render separately below).
+    variants = (
+        ("parity", "parity", None),
+        ("fast", "fast", None),
+        ("fast_stop2", "fast", {"stop_every": 2}),
+    )
+    for label, profile, pco in variants:
         for mode in ("fwd", "fwd_bwd"):
             r = run_benchmark(
                 mode=mode,
                 profile=profile,
                 iters=4 if quick else 10,
                 frames_per_dispatch=8 if quick else 16,
+                pc_overrides=pco,
             )
             row = {
-                "profile": profile,
+                "profile": label,
                 "mode": mode,
                 "rays_per_s": r["value"],
                 "ms_per_frame": 1e3 * r["seconds_per_frame"],
@@ -68,6 +77,27 @@ def main() -> None:
             }
             out["throughput"].append(row)
             print(json.dumps(row))
+
+    # Image delta of the stop-thinned kernel (kernel-only knob): fast+stop2
+    # kernel render vs the parity XLA render.
+    from sdf3d_tpu.ops import default_pallas_config
+    from sdf3d_tpu.ops.render_kernel import render_kernel_forward
+
+    cfg = dataclasses.replace(s.REFERENCE_CONFIG, width=1920, height=1080)
+    cam, light, mat = s.Camera.reference(), s.reference_light(), s.reference_material()
+    scene = s.reference_scene()
+    a = np.clip(np.asarray(s.render(scene, cam, light, mat, cfg)), 0.0, 1.0)
+    pc = default_pallas_config(scene, stop_every=2)
+    b, _, _, _ = render_kernel_forward(scene, cam, light, mat, s.fast_config(cfg), pc)
+    b = np.clip(np.asarray(b), 0.0, 1.0)
+    mse = float(np.mean((a - b) ** 2))
+    d = {
+        "scene": "reference", "variant": "fast_stop2",
+        "psnr_db": 10.0 * np.log10(1.0 / max(mse, 1e-12)),
+        "max_abs_err": float(np.max(np.abs(a - b))),
+    }
+    out["deltas"].append(d)
+    print(json.dumps(d))
 
     print(json.dumps(out))
 

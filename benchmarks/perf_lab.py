@@ -163,12 +163,28 @@ def suite_refcam(cfg):
 
 def suite_fit_tiles(cfg):
     """Tile/check sweep for the single-launch fused fit kernel (the bench.py
-    fwd_bwd workload) — the bwd AD section shifts the optimum vs fwd-only."""
+    fwd_bwd workload) — the bwd AD section shifts the optimum vs fwd-only.
+    Round-5 additions: zero-column-padding widths (1920 = 5·384 = 3·640 —
+    the default 512 pads 1920→2048, 6.7% dead lanes) and th=24 (45·24 =
+    1080 exactly, zero row padding)."""
     cases = {}
-    for th, tw in [(16, 512), (8, 512), (32, 512), (16, 1024), (8, 1024), (16, 256)]:
+    for th, tw in [(16, 512), (8, 512), (32, 512), (16, 1024), (8, 1024),
+                   (16, 256), (16, 640), (24, 640), (8, 640), (16, 384),
+                   (24, 512), (32, 640)]:
         cases[f"fit_{th}x{tw}"] = (cfg, PallasRenderConfig(tile_h=th, tile_w=tw), "fit")
     for c in [10, 25, 50]:
         cases[f"fit_chk{c}"] = (cfg, PallasRenderConfig(check_every=c), "fit")
+    return cases
+
+
+def suite_stop(cfg):
+    """Stop-predicate thinning (pc.stop_every, fast-profile knob) and its
+    interaction with check_every — fwd and fit."""
+    cases = {}
+    for se, chk in [(1, 20), (2, 20), (4, 20), (2, 10), (5, 20)]:
+        pc = PallasRenderConfig(check_every=chk, stop_every=se)
+        cases[f"fwd_se{se}_chk{chk}"] = (cfg, pc, "fwd_scan")
+        cases[f"fit_se{se}_chk{chk}"] = (cfg, pc, "fit")
     return cases
 
 
@@ -191,7 +207,7 @@ def suite_fit_stages(cfg):
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "stages"
     cfg = dataclasses.replace(s.REFERENCE_CONFIG, width=1920, height=1080)
-    suites = {"tiles": suite_tiles, "check": suite_check, "stages": suite_stages, "breakdown": suite_breakdown, "refcam": suite_refcam, "fit_tiles": suite_fit_tiles, "fit_stages": suite_fit_stages}
+    suites = {"tiles": suite_tiles, "check": suite_check, "stages": suite_stages, "breakdown": suite_breakdown, "refcam": suite_refcam, "fit_tiles": suite_fit_tiles, "fit_stages": suite_fit_stages, "stop": suite_stop}
     if which == "all":
         for name, fn in suites.items():
             print(f"--- {name} ---")

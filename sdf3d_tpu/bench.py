@@ -196,6 +196,7 @@ def run_benchmark(
     iters: int = 10,
     frames_per_dispatch: int = 16,
     profile: str = "parity",
+    pc_overrides: dict | None = None,
 ) -> dict:
     """Time the renderer; returns the one-line JSON payload (BASELINE metric:
     rays/s at 1080p sphere-trace fwd+bwd, target 1e9/chip).
@@ -241,7 +242,10 @@ def run_benchmark(
     if engine == "pallas":
         from sdf3d_tpu.ops import default_pallas_config, render_pallas
 
-        pc = default_pallas_config(scene, interpret=interpret)
+        # pc_overrides: kernel-knob experiments (e.g. the fast profile's
+        # stop_every thinning) without a config-surface change.
+        pc = default_pallas_config(scene, interpret=interpret,
+                                   **(pc_overrides or {}))
 
         def render_one(sc, camera):
             return render_pallas(cfg, pc, sc, camera, light, mat)
