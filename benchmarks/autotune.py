@@ -43,10 +43,13 @@ def main(argv=None):
     scene = {"reference": s.reference_scene, "flagship": s.flagship_scene}[args.scene]()
 
     best = None
-    for th in (8, 16, 32):
-        for tw in (128, 256, 512):
-            if th * tw > 32 * 512:
+    for th in (8, 16, 24, 32):
+        for tw in (128, 256, 384, 512, 640):
+            if th * tw > 32 * 640:
                 continue
+            # Prefer shapes that divide the image exactly: padding lanes
+            # march dead rays AND extra grid programs pay sequencing cost
+            # (the round-5 (16,512)→(24,640) 12% finding).
             pc = PallasRenderConfig(tile_h=th, tile_w=tw, interpret=args.interpret)
             try:
                 fn = lambda sc: render_kernel_forward(sc, cam, light, mat, cfg, pc)[0]

@@ -68,12 +68,17 @@ class PallasRenderConfig:
     """Static kernel parameters (hashable → jit static arg).
 
     ``tile_h × tile_w`` rays per grid program; float32 min tile is (8, 128).
-    The default (16, 512) is the measured v5e optimum (543 Mrays/s fwd at
-    1080p vs 344 at the (8, 256) minimum): the march is a serial per-ray
-    dependency chain, so wide tiles (8 vregs/step) keep the VPU busy across
-    the step-to-step latency, while over-wide tiles (≥32 vregs) pay more
-    whole-tile convergence divergence than they recover in ILP
-    (benchmarks/autotune.py re-tunes for other chips/scenes).
+    The default (24, 640) is the measured v5e optimum at production
+    resolutions (round 5, slope protocol: 1.703 ms fit vs 1.916 at the old
+    (16, 512)): 1080p = 45×3 tiles with ZERO padding — the old default
+    padded 1920→2048 columns (6.7% dead lanes) and ran 272 grid programs
+    vs 135 (per-program sequencing was most of the 12% gap).  720p/4K also
+    divide exactly.  The march is a serial per-ray dependency chain, so
+    wide tiles keep the VPU busy across the step-to-step latency, while
+    over-wide tiles pay more whole-tile convergence divergence than they
+    recover in ILP (benchmarks/autotune.py re-tunes for other
+    chips/scenes; small images should pass smaller tiles — the kernel pads
+    to the tile, e.g. width < 640 wastes the difference).
 
     ``check_every``: march-loop convergence (the ``max(active)`` cross-lane
     reduction + scalar loop test) is only evaluated every N steps; the N
@@ -101,8 +106,8 @@ class PallasRenderConfig:
     the default tile); ``None`` keeps the compiler default.
     """
 
-    tile_h: int = 16
-    tile_w: int = 512
+    tile_h: int = 24
+    tile_w: int = 640
     check_every: int = 20
     ray_sdf: bool = True
     interpret: bool = False
