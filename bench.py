@@ -45,7 +45,12 @@ import json, sys
 import jax, jax.numpy as jnp
 assert float(jnp.sum(jnp.ones((64, 64)))) == 4096.0
 from sdf3d_tpu.bench import run_extras
-print("EXTRAS_JSON:" + json.dumps(run_extras(budget_s=float(sys.argv[1]))))
+# Stream a partial line after every entry: if the parent's timeout kills us
+# mid-entry, the completed entries survive (the parent keeps the LAST line).
+def _emit(partial):
+    print("EXTRAS_JSON:" + json.dumps(partial), flush=True)
+_emit({})
+run_extras(budget_s=float(sys.argv[1]), on_update=_emit)
 """
 
 
@@ -57,15 +62,22 @@ def try_extras(timeout_s: float) -> dict | None:
             capture_output=True,
             text=True,
         )
-    except subprocess.TimeoutExpired:
-        print(f"extras attempt timed out after {timeout_s:.0f}s", file=sys.stderr)
-        return None
-    for line in proc.stdout.splitlines():
+        stdout = proc.stdout or ""
+        rc = proc.returncode
+    except subprocess.TimeoutExpired as e:
+        print(f"extras attempt timed out after {timeout_s:.0f}s; keeping "
+              "completed entries", file=sys.stderr)
+        raw = e.stdout or b""
+        stdout = raw.decode(errors="replace") if isinstance(raw, bytes) else raw
+        rc = -1
+    last = None
+    for line in stdout.splitlines():
         if line.startswith("EXTRAS_JSON:"):
-            return json.loads(line[len("EXTRAS_JSON:"):])
-    tail = (proc.stderr or "").strip().splitlines()[-3:]
-    print(f"extras attempt produced no JSON (rc={proc.returncode}): "
-          f"{' | '.join(tail)}", file=sys.stderr)
+            last = line[len("EXTRAS_JSON:"):]
+    if last is not None:
+        extras = json.loads(last)
+        return extras or None  # the initial empty partial carries nothing
+    print(f"extras attempt produced no JSON (rc={rc})", file=sys.stderr)
     return None
 
 

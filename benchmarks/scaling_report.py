@@ -45,26 +45,17 @@ import pathlib
 
 
 def march_step_counts(scene, origins, directions, mc, shadow_cfg=None, light=None):
-    """Per-ray primary march step count (+ shadow steps when configured) —
-    the exact masked-loop semantics of march.sphere_trace, with a counter."""
+    """Per-ray primary march step count (+ shadow steps when configured).
+    The primary counter is the library's single source of truth
+    (``march.march_step_map`` — also drives the tile-queue balanced
+    planner); this adds the shadow-work term."""
     import jax.numpy as jnp
     from jax import lax
 
+    from sdf3d_tpu.march import march_step_map
+
     batch = origins.shape[:-1]
-
-    def body(_, carry):
-        dist, steps, active = carry
-        p = origins + dist[..., None] * directions
-        sv = scene.distance(p)
-        steps = steps + active
-        dist_new = jnp.where(active > 0, dist + sv, dist)
-        done = (dist_new > mc.max_distance) | (sv < mc.epsilon)
-        return dist_new, steps, active * (1.0 - done.astype(jnp.float32))
-
-    dist0 = jnp.zeros(batch, jnp.float32)
-    steps0 = jnp.zeros(batch, jnp.float32)
-    active0 = jnp.ones(batch, jnp.float32)
-    dist, steps, _ = lax.fori_loop(0, mc.max_steps, body, (dist0, steps0, active0))
+    dist, steps = march_step_map(scene.distance, origins, directions, mc)
 
     if shadow_cfg is not None and shadow_cfg.enabled:
         # Shadow work exists only for lit surface hits; approximate the lane

@@ -152,7 +152,7 @@ def _multiview_extra() -> dict:
             "views": V, "resolution": f"{W}x{H}"}
 
 
-def run_extras(budget_s: float = 900.0) -> dict:
+def run_extras(budget_s: float = 900.0, on_update=None) -> dict:
     """Secondary tracking metrics beyond the driver headline (round-5
     VERDICT item 7): 4K forward + fit, the V=4 multiview fit step, the fast
     profile, and the eval-dominated fractal fit — the numbers that
@@ -161,7 +161,10 @@ def run_extras(budget_s: float = 900.0) -> dict:
 
     Runs with a reduced measurement protocol (fewer slope rounds than the
     headline); each entry either carries rays/s + seconds or an error
-    string.  Never raises — callers embed whatever completed.
+    string.  Never raises — and ``on_update(partial_dict)`` fires after
+    every entry so callers can stream partial results (the driver child
+    prints each partial; a hard kill mid-entry then loses only that entry,
+    not the completed ones).
     """
     out: dict = {}
     deadline = time.monotonic() + budget_s
@@ -169,11 +172,13 @@ def run_extras(budget_s: float = 900.0) -> dict:
     def _run(name, fn):
         if time.monotonic() > deadline - 60:
             out[name] = "skipped: extras budget exhausted"
-            return
-        try:
-            out[name] = fn()
-        except Exception as e:  # noqa: BLE001 - diagnostic capture
-            out[name] = f"error: {type(e).__name__}: {e}"
+        else:
+            try:
+                out[name] = fn()
+            except Exception as e:  # noqa: BLE001 - diagnostic capture
+                out[name] = f"error: {type(e).__name__}: {e}"
+        if on_update is not None:
+            on_update(dict(out))
 
     def _via(mode, **kw):
         r = run_benchmark(engine="pallas", mode=mode, iters=4,

@@ -157,6 +157,34 @@ def _sphere_trace_relaxed(sdf_fn: SDFFn, origins: jnp.ndarray, directions: jnp.n
     return t
 
 
+def march_step_map(sdf_fn: SDFFn, origins: jnp.ndarray, directions: jnp.ndarray, cfg: MarchConfig):
+    """Per-ray ``(distance, steps_executed)`` for the unrelaxed primary
+    march — the exact masked-loop semantics of :func:`sphere_trace`, with a
+    step counter.  The single source of truth for march-work accounting
+    (load-balance projections in ``benchmarks/scaling_report`` and the
+    tile-queue balanced planner, ``parallel/tile_queue.estimate_tile_work``)
+    — one counter, so march-semantics changes cannot silently diverge from
+    the work model."""
+    from jax import lax
+
+    batch = origins.shape[:-1]
+
+    def body(_, carry):
+        dist, steps, active = carry
+        p = origins + dist[..., None] * directions
+        sv = sdf_fn(p)
+        steps = steps + active
+        dist_new = jnp.where(active > 0, dist + sv, dist)
+        done = (dist_new > cfg.max_distance) | (sv < cfg.epsilon)
+        return dist_new, steps, active * (1.0 - done.astype(jnp.float32))
+
+    z = jnp.zeros(batch, jnp.float32)
+    dist, steps, _ = lax.fori_loop(
+        0, cfg.max_steps, body, (z, z, jnp.ones(batch, jnp.float32))
+    )
+    return dist, steps
+
+
 def hit_mask(distance: jnp.ndarray, cfg: MarchConfig) -> jnp.ndarray:
     """True where the march converged on a surface (did not exceed range)."""
     return distance <= cfg.max_distance

@@ -486,10 +486,24 @@ def _tile_primal(uni, getp, sdf, soa_ray, rows, cols, cfg, pc, track_min: bool =
             return sdf(ox + t * dx, oy + t * dy, oz + t * dz)
 
     stop_every = max(1, pc.stop_every)
-    if stop_every > 1 and chk % stop_every != 0:
-        raise ValueError(
-            f"stop_every ({stop_every}) must divide check_every ({chk})"
-        )
+    if stop_every > 1:
+        if chk % stop_every != 0:
+            raise ValueError(
+                f"stop_every ({stop_every}) must divide check_every ({chk})"
+            )
+        if mc.relaxation != 1.0:
+            # The relaxed body has its own fail/hit bookkeeping per step;
+            # silently ignoring the knob would let users attribute its
+            # documented PSNR cost to images that never ran thinned.
+            raise ValueError(
+                "stop_every > 1 applies to the plain march only "
+                "(march.relaxation == 1.0)"
+            )
+        if track_min:
+            raise ValueError(
+                "stop_every > 1 is incompatible with the silhouette "
+                "min-SDF tracker (per-step predicate gating)"
+            )
     min_planes = ()
     if track_min:
         # The min-SDF tracker needs the per-step predicate (argmin gating);

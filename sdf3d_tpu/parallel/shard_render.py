@@ -151,9 +151,13 @@ def render_pallas_sharded(
     """
     n = mesh.shape[tile_axis]
     if layout is not None:
+        # Tile-queue reassembly gathers the full global tile stack, so it is
+        # single-host only (fit.py's _resolve_layout applies the same guard).
+        single_host = jax.process_count() == 1
         if layout == "auto":
             if (
                 n >= 16
+                and single_host
                 and config.height % pc.tile_h == 0
                 and config.width % pc.tile_w == 0
             ):
@@ -163,6 +167,11 @@ def render_pallas_sharded(
             else:
                 layout = "contiguous"
         if layout == "tiles":
+            if not single_host:
+                raise ValueError(
+                    "layout='tiles' is single-host (the gather/reassembly "
+                    "needs the full tile stack); use a row layout across hosts"
+                )
             from sdf3d_tpu.parallel.tile_queue import render_pallas_tiles
 
             return render_pallas_tiles(

@@ -144,28 +144,14 @@ def estimate_tile_work(
     tiles, not be exact, so the default 1/8 scale is plenty (SCALING.jsonl
     compares the resulting projection against the exact-work oracle).
     """
-    from jax import lax
-
     from sdf3d_tpu.camera import camera_rays
+    from sdf3d_tpu.march import march_step_map
 
     h = max(config.height // scale, 1)
     w = max(config.width // scale, 1)
     o, d = camera_rays(camera, w, h, config.ray_mode)
     mc = config.march
-
-    def body(_, carry):
-        dist, steps, active = carry
-        p = o + dist[..., None] * d
-        sv = scene.distance(p)
-        steps = steps + active
-        dist_new = jnp.where(active > 0, dist + sv, dist)
-        done = (dist_new > mc.max_distance) | (sv < mc.epsilon)
-        return dist_new, steps, active * (1.0 - done.astype(jnp.float32))
-
-    z = jnp.zeros((h, w), jnp.float32)
-    dist, steps, _ = lax.fori_loop(
-        0, mc.max_steps, body, (z, z, jnp.ones((h, w), jnp.float32))
-    )
+    dist, steps = march_step_map(scene.distance, o, d, mc)
     if config.shadow.enabled and light is not None:
         # Shadow work ≈ another march for lit hit lanes; gate on hit like
         # benchmarks/scaling_report.march_step_counts.

@@ -198,17 +198,10 @@ def render_banded(
     73 ms for a 64-hidden neural scene at 720p, vs 156 ms for the fused
     neural kernel).  For analytic scenes use the Pallas engine.
     """
-    H, W = config.height, config.width
-    Hp = ((H + band_rows - 1) // band_rows) * band_rows
-    origins, directions = camera_rays(camera, W, H, config.ray_mode)
-    if Hp != H:
-        pad = ((0, Hp - H), (0, 0), (0, 0))
-        origins = jnp.pad(origins, pad, mode="edge")
-        directions = jnp.pad(directions, pad, mode="edge")
-    ob = origins.reshape(Hp // band_rows, band_rows, W, 3)
-    db = directions.reshape(Hp // band_rows, band_rows, W, 3)
-    out = jax.lax.map(lambda od: render_rays(scene, od[0], od[1], light, mat, config), (ob, db))
-    return out.reshape(Hp, W, 3)[:H]
+    origins, directions = camera_rays(camera, config.width, config.height, config.ray_mode)
+    return render_rays_banded(
+        scene, origins, directions, light, mat, config, band_rows
+    )
 
 
 def render_rays_banded(
