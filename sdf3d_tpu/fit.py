@@ -119,9 +119,18 @@ class FitConfig:
     #: under "auto".
     shard_layout: str = "auto"
     #: Tile-queue assignment policy: "round_robin" (scene-independent) or
-    #: "balanced" (greedy LPT on a 1/8-resolution march pre-pass of the
-    #: *initial* scene — the measured-work static schedule).
+    #: "balanced" (greedy LPT on a 1/8-resolution march pre-pass — the
+    #: measured-work static schedule).
     shard_policy: str = "round_robin"
+    #: With shard_layout='tiles' + shard_policy='balanced': re-estimate the
+    #: work map from the CURRENT scene and re-plan the tile work-lists
+    #: every N steps (0 = plan once from the initial scene).  Origin tables
+    #: are runtime SMEM inputs, so a re-plan is a host-side pass plus a
+    #: target re-gather — it never recompiles; and any equal-count plan
+    #: computes the identical loss/gradients (partition invariance,
+    #: tested), so re-planning is purely a load-balance refresh for long
+    #: fits whose geometry drifts from the initial work estimate.
+    replan_every: int = 0
     #: Gradient all-reduce for sharded fits: "psum" (XLA collective;
     #: default), "pallas_ring" (the overlapped ring kernel, one launch per
     #: step over the flattened gradient vector — auto-selects the bandwidth
@@ -370,6 +379,10 @@ def fit_scene(
                 "height/pyramid_levels/tile or fit unsharded"
             )
 
+    # Set by the tile-queue branch when dynamic re-balancing is on: a
+    # callable (current scene) -> (trows, tcols, target stacks).
+    replan_tiles = None
+
     if fit_config.engine == "pallas":
         from sdf3d_tpu.ops import render_pallas
 
@@ -420,19 +433,35 @@ def fit_scene(
             )
 
             n = mesh.shape[tile_axis]
-            work = None
-            if fit_config.shard_policy == "balanced":
-                steps = estimate_tile_work(scene0, camera, render_config, light)
-                work = pool_work_to_tiles(
-                    steps, render_config.height, render_config.width,
-                    pc.tile_h, pc.tile_w,
-                )
-            plan = plan_tiles(
-                render_config.height, render_config.width, pc.tile_h,
-                pc.tile_w, n, fit_config.shard_policy, work,
-            )
             tgt_planar = jnp.transpose(target, (2, 0, 1))  # (C, H, W), C=3(+cov)
-            stacks = gather_target_tiles(tgt_planar, plan)  # (n, C, T·TH, TW)
+
+            def _build_tile_inputs(scene_for_work):
+                work = None
+                if fit_config.shard_policy == "balanced":
+                    steps = estimate_tile_work(
+                        scene_for_work, camera, render_config, light
+                    )
+                    work = pool_work_to_tiles(
+                        steps, render_config.height, render_config.width,
+                        pc.tile_h, pc.tile_w,
+                    )
+                plan = plan_tiles(
+                    render_config.height, render_config.width, pc.tile_h,
+                    pc.tile_w, n, fit_config.shard_policy, work,
+                )
+                # (trows, tcols, target stacks) — same shapes for every
+                # plan, so re-planning never recompiles the chunk.
+                return (
+                    jnp.asarray(plan.rows),
+                    jnp.asarray(plan.cols),
+                    gather_target_tiles(tgt_planar, plan),
+                )
+
+            if (
+                fit_config.replan_every > 0
+                and fit_config.shard_policy == "balanced"
+            ):
+                replan_tiles = _build_tile_inputs
 
             def tiles_vag(scene_, trow_, tcol_, tgt_stack):
                 rgb_t = tgt_stack[:3]
@@ -451,9 +480,7 @@ def fit_scene(
             )
             # Origin tables replace the ray bundles as the chunk's sharded
             # per-device inputs; the stacks replace the row-sharded target.
-            origins = jnp.asarray(plan.rows)
-            directions = jnp.asarray(plan.cols)
-            target = stacks
+            origins, directions, target = _build_tile_inputs(scene0)
         elif mesh is not None:
             # Sharded fused-engine fit (BASELINE config 5): each device runs
             # the fused forward + fused backward kernel on its row slab (the
@@ -685,12 +712,27 @@ def fit_scene(
         end = min(fit_config.steps, step + chunk_cap)
         if ckpt_every:
             end = min(end, ((step // ckpt_every) + 1) * ckpt_every)
+        if replan_tiles is not None:
+            # Chunks also break at re-plan boundaries so the refreshed
+            # work-lists take effect exactly on schedule.
+            re = fit_config.replan_every
+            end = min(end, ((step // re) + 1) * re)
         n_steps = end - step
         scene, opt_state, chunk_losses = run_chunk(
             scene, opt_state, origins, directions, target, n_steps
         )
         chunk_losses = jax.device_get(chunk_losses).tolist()  # one host sync per chunk
         steps_run += n_steps
+        if (
+            replan_tiles is not None
+            and end < fit_config.steps
+            and end % fit_config.replan_every == 0
+        ):
+            # Dynamic load re-balance: new equal-count work-lists from the
+            # CURRENT scene's work map.  Same array shapes -> no recompile;
+            # any equal-count plan computes identical loss/grads (partition
+            # invariance), so this cannot change the trajectory.
+            origins, directions, target = replan_tiles(scene)
         for i, loss_val in enumerate(chunk_losses):
             gstep = step + i
             if gstep % fit_config.log_every == 0 or gstep == fit_config.steps - 1:

@@ -336,6 +336,37 @@ class TestTileQueue:
             float(got.scene.b.radius), float(ref.scene.b.radius), rtol=1e-5
         )
 
+    def test_replan_preserves_trajectory(self, mesh8):
+        """Dynamic re-balancing (FitConfig.replan_every): re-planning the
+        balanced work-lists from the current scene every step must leave
+        the fit trajectory IDENTICAL — any equal-count plan computes the
+        same loss/gradients (partition invariance), so a re-plan is purely
+        a load-balance refresh and can never change results."""
+        from sdf3d_tpu.fit import FitConfig, fit_scene
+
+        cfg = dataclasses.replace(CFG, width=128, height=48)
+        target = np.asarray(s.render(s.reference_scene(), CAM, LIGHT, MAT, cfg))
+        scene0 = s.sdf.union(
+            s.sdf.ground_plane(),
+            s.sdf.sphere(center=(0.05, 0.45, 0.0), radius=0.25),
+        )
+        common = dict(
+            steps=3, learning_rate=1e-2, log_every=1, engine="pallas",
+            pallas_interpret=True, pallas_tile=(8, 128),
+            shard_layout="tiles", shard_policy="balanced",
+        )
+        ref = fit_scene(
+            target, scene0, CAM, LIGHT, MAT, cfg, FitConfig(**common), mesh=mesh8
+        )
+        got = fit_scene(
+            target, scene0, CAM, LIGHT, MAT, cfg,
+            FitConfig(**common, replan_every=1), mesh=mesh8,
+        )
+        np.testing.assert_allclose(got.losses, ref.losses, rtol=1e-6)
+        np.testing.assert_allclose(
+            float(got.scene.b.radius), float(ref.scene.b.radius), rtol=1e-6
+        )
+
     def test_estimate_tile_work_ranks_object_tiles_highest(self):
         from sdf3d_tpu.parallel.tile_queue import (
             estimate_tile_work,
